@@ -1,0 +1,79 @@
+"""Pre/post-processing pipeline: scale -> partition -> voxelize and back.
+
+Capability parity with the reference pipeline (`process.py:16-82`), with the
+disk round-trips for scaled clouds removed (the reference writes a temp PLY
+and re-reads it; here scaling is in-memory).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pcgcv1_tpu.ops import partition, ply, topk, voxel
+
+
+@dataclasses.dataclass
+class PreprocessResult:
+    cubes: np.ndarray           # float32 [B, cs, cs, cs, 1] occupancy
+    cube_positions: np.ndarray  # int32 [B, 3] canonical order
+    points_numbers: np.ndarray  # uint16 [B] occupied-voxel count per cube
+
+
+def scale_points(points, scale):
+    """Downscale integer points: round(points * scale), dedupe.
+
+    Mirrors `process.py:29-30`. Returns int32 coordinates.
+    """
+    if scale == 1:
+        return np.asarray(points, dtype=np.int32)
+    pc = np.round(np.asarray(points, dtype=np.float32) * scale)
+    pc = np.unique(pc, axis=0)
+    return pc.astype(np.int32)
+
+
+def preprocess(input_file, scale=1.0, cube_size=64, min_num=64):
+    """PLY file -> partitioned occupancy cubes.
+
+    Returns PreprocessResult with cubes in canonical cube order
+    (see `pcgcv1_tpu.ops.partition.canonical_order`).
+    """
+    points = ply.load_ply(input_file)
+    return preprocess_points(points, scale, cube_size, min_num)
+
+
+def preprocess_points(points, scale=1.0, cube_size=64, min_num=64):
+    points = scale_points(points, scale)
+    local, cube_ids, cube_positions, _ = partition.partition_points(
+        points, cube_size, min_num)
+    cubes = voxel.points_to_voxels(local, cube_ids, len(cube_positions),
+                                   cube_size)
+    points_numbers = voxel.occupied_counts(cubes).astype(np.uint16)
+    return PreprocessResult(cubes, cube_positions, points_numbers)
+
+
+def postprocess_points(cubes, points_numbers, cube_positions, scale=1.0,
+                       cube_size=64, rho=1.0, fixed_thres=None):
+    """Decoded logit cubes -> reconstructed global points.
+
+    Returns float64 [N,3] points (integer-valued unless scale != 1).
+    """
+    mask = topk.select_voxels(cubes, points_numbers, rho, fixed_thres)
+    per_cube = voxel.voxels_to_points(mask)
+    points = partition.assemble_points(per_cube, cube_positions, cube_size)
+    if scale != 1:
+        return points.astype(np.float64) * (1.0 / scale)
+    return points.astype(np.float64)
+
+
+def postprocess(output_file, cubes, points_numbers, cube_positions,
+                scale=1.0, cube_size=64, rho=1.0, fixed_thres=None):
+    """Classify, extract, reassemble and write the reconstruction to PLY."""
+    points = postprocess_points(cubes, points_numbers, cube_positions, scale,
+                                cube_size, rho, fixed_thres)
+    if scale == 1:
+        ply.write_ply(output_file, points.astype(np.int64))
+    else:
+        ply.write_ply(output_file, points)
+    return points

@@ -1,0 +1,181 @@
+"""PLY point-cloud io.
+
+Capability parity with the reference reader/writer
+(`dataprocess/inout_points.py:8-46`), redesigned for speed:
+
+- reads ASCII *and* binary_little_endian PLY (the reference reads ASCII only,
+  line-by-line in pure Python);
+- vectorized parse via numpy (the 858k-point longdress parses in ~0.2 s vs
+  several seconds line-by-line);
+- optional normals (needed by the D2 point-to-plane metric, see
+  `myutils/pc_error_wrapper.py:48-53` in the reference).
+
+The writer emits the same ASCII container the reference emits
+(``property float x/y/z``, one point per line) so outputs are drop-in
+replacements.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+
+_PLY_DTYPES = {
+    "char": "i1",
+    "int8": "i1",
+    "uchar": "u1",
+    "uint8": "u1",
+    "short": "i2",
+    "int16": "i2",
+    "ushort": "u2",
+    "uint16": "u2",
+    "int": "i4",
+    "int32": "i4",
+    "uint": "u4",
+    "uint32": "u4",
+    "float": "f4",
+    "float32": "f4",
+    "double": "f8",
+    "float64": "f8",
+}
+
+
+def _parse_header(f):
+    """Parse a PLY header; returns (format, vertex_count, properties, offset)."""
+    magic = f.readline().strip()
+    if magic != b"ply":
+        raise ValueError("not a PLY file")
+    fmt = None
+    vertex_count = None
+    properties = []  # (name, numpy dtype str) for the vertex element only
+    in_vertex_element = False
+    while True:
+        line = f.readline()
+        if not line:
+            raise ValueError("unterminated PLY header")
+        tokens = line.strip().split()
+        if not tokens:
+            continue
+        key = tokens[0]
+        if key == b"format":
+            fmt = tokens[1].decode()
+        elif key == b"element":
+            in_vertex_element = tokens[1] == b"vertex"
+            if in_vertex_element:
+                vertex_count = int(tokens[2])
+        elif key == b"property" and in_vertex_element:
+            if tokens[1] == b"list":
+                raise ValueError("list properties unsupported on vertex element")
+            properties.append((tokens[-1].decode(), _PLY_DTYPES[tokens[1].decode()]))
+        elif key == b"end_header":
+            break
+    if fmt is None or vertex_count is None:
+        raise ValueError("malformed PLY header")
+    return fmt, vertex_count, properties
+
+
+def _load_ply_fields(filename, fields):
+    """Load the requested vertex fields; returns dict name -> float64 array.
+
+    Missing fields map to None. Also tolerates the reference's header-less
+    ASCII output (bare ``x y z`` per line after any non-numeric lines).
+    """
+    with open(filename, "rb") as f:
+        head = f.read(4)
+        f.seek(0)
+        if head[:3] != b"ply":
+            # Reference-style tolerance: ASCII lines of numbers, skip others
+            # (`inout_points.py:15-22`).
+            data = _loadtxt_tolerant(filename)
+            out = {}
+            for i, name in enumerate(("x", "y", "z")):
+                out[name] = data[:, i] if data.shape[1] > i else None
+            for name in fields:
+                out.setdefault(name, None)
+            return out
+        fmt, n, props, = _parse_header(f)
+        names = [p[0] for p in props]
+        if fmt == "ascii":
+            raw = np.loadtxt(io.BytesIO(f.read()), dtype=np.float64, ndmin=2,
+                             max_rows=n)
+            cols = {name: raw[:, i] for i, name in enumerate(names)
+                    if i < raw.shape[1]}
+        elif fmt == "binary_little_endian":
+            dt = np.dtype([(p[0], "<" + p[1]) for p in props])
+            raw = np.frombuffer(f.read(dt.itemsize * n), dtype=dt, count=n)
+            cols = {name: raw[name].astype(np.float64) for name in names}
+        else:
+            raise ValueError(f"unsupported PLY format {fmt}")
+        return {name: cols.get(name) for name in set(fields) | {"x", "y", "z"}}
+
+
+def _loadtxt_tolerant(filename):
+    rows = []
+    with open(filename, "r") as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 3:
+                continue
+            try:
+                rows.append([float(parts[0]), float(parts[1]), float(parts[2])])
+            except ValueError:
+                continue
+    return np.asarray(rows, dtype=np.float64).reshape(-1, 3)
+
+
+def load_ply(filename, dtype=np.int32):
+    """Load xyz coordinates from a PLY file.
+
+    Matches the reference semantics (`inout_points.py:8-28`): keeps x,y,z and
+    casts to int32 (voxel coordinates).
+    """
+    cols = _load_ply_fields(filename, ("x", "y", "z"))
+    pts = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+    return pts.astype(dtype)
+
+
+def load_ply_with_normals(filename):
+    """Load (points float64 [N,3], normals float64 [N,3] or None)."""
+    cols = _load_ply_fields(filename, ("x", "y", "z", "nx", "ny", "nz"))
+    pts = np.stack([cols["x"], cols["y"], cols["z"]], axis=1)
+    if cols.get("nx") is None or cols.get("ny") is None or cols.get("nz") is None:
+        return pts, None
+    normals = np.stack([cols["nx"], cols["ny"], cols["nz"]], axis=1)
+    return pts, normals
+
+
+def write_ply(filename, points, normals=None, ascii_fmt=True):
+    """Write points (and optional normals) to a PLY file.
+
+    ASCII output uses the reference's container layout
+    (`inout_points.py:30-46`): header with ``property float x/y/z`` then one
+    point per line. Integer-valued arrays are written without a decimal point,
+    matching ``str(int)`` in the reference.
+    """
+    points = np.asarray(points)
+    n = points.shape[0]
+    dirname = os.path.dirname(filename)
+    if dirname:
+        os.makedirs(dirname, exist_ok=True)
+    header = ["ply", "format ascii 1.0" if ascii_fmt else
+              "format binary_little_endian 1.0",
+              f"element vertex {n}",
+              "property float x", "property float y", "property float z"]
+    if normals is not None:
+        header += ["property float nx", "property float ny", "property float nz"]
+    header.append("end_header")
+    cols = points if normals is None else np.concatenate(
+        [points, np.asarray(normals)], axis=1)
+    if ascii_fmt:
+        with open(filename, "w") as f:
+            f.write("\n".join(header) + "\n")
+            if np.issubdtype(cols.dtype, np.integer):
+                np.savetxt(f, cols, fmt="%d")
+            else:
+                np.savetxt(f, cols, fmt="%.8g")
+    else:
+        with open(filename, "wb") as f:
+            f.write(("\n".join(header) + "\n").encode())
+            f.write(np.ascontiguousarray(cols, dtype="<f4").tobytes())

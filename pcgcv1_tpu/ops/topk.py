@@ -1,0 +1,71 @@
+"""Rho-weighted adaptive top-k voxel classification.
+
+Capability parity with the reference classifier
+(`dataprocess/inout_points.py:147-179`): per decoded cube, the occupancy
+threshold is chosen so that ~``rho * points_num`` voxels are selected —
+specifically, the ``num``-th largest logit, with the mask taken as
+``vol >= thres`` (ties may select slightly more).
+
+The reference's ``init_thres=-2`` prefilter (`inout_points.py:170-174`)
+is a CPU optimization with identical semantics: whether or not enough values
+exceed -2, the resulting threshold is always the ``num``-th largest value of
+the full volume. Here the whole batch is one jitted sort on device instead of
+a per-cube Python loop.
+
+Deviation (documented): ``num`` is clamped to [1, cube_size^3]; the reference
+would index ``values[-0]`` for num==0 which selects *all* voxels — an
+accidental behavior we replace with "select the single largest".
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=())
+def adaptive_thresholds(vols, nums):
+    """Per-cube threshold = nums[b]-th largest value of vols[b].
+
+    Args:
+      vols: float [B, V] flattened logits per cube.
+      nums: int32 [B] number of voxels to select (>=1, <=V).
+
+    Returns:
+      float [B] thresholds.
+    """
+    v = jnp.sort(vols, axis=-1)  # ascending
+    nv = vols.shape[-1]
+    idx = jnp.clip(nv - nums, 0, nv - 1)
+    return jnp.take_along_axis(v, idx[:, None], axis=-1)[:, 0]
+
+
+def select_voxels(vols, points_nums, rho=1.0, fixed_thres=None):
+    """Classify voxels to occupied/free.
+
+    Args:
+      vols: [B, cs, cs, cs, 1] (or [B, cs, cs, cs]) float logits.
+      points_nums: int [B] original per-cube occupied-voxel counts.
+      rho: output/input point count ratio.
+      fixed_thres: if given, use this scalar threshold for every cube
+        (the reference's ablation mode, `inout_points.py:158-162`).
+
+    Returns:
+      float32 mask with the same leading shape as ``vols`` (trailing channel
+      squeezed), 1.0 where ``vol >= threshold``.
+    """
+    v = np.asarray(vols)
+    if v.ndim == 5:
+        v = v[..., 0]
+    shape = v.shape
+    if fixed_thres is not None:
+        return (v >= fixed_thres).astype(np.float32)
+    flat = v.reshape(shape[0], -1)
+    nums = (rho * np.asarray(points_nums, dtype=np.float64)).astype(np.int64)
+    nums = np.clip(nums, 1, flat.shape[1]).astype(np.int32)
+    thres = np.asarray(adaptive_thresholds(jnp.asarray(flat),
+                                           jnp.asarray(nums)))
+    return (flat >= thres[:, None]).reshape(shape).astype(np.float32)
