@@ -1,0 +1,184 @@
+"""Bitstream container io.
+
+Byte-level parity with the reference container
+(`dataprocess/inout_bitstream.py` in NJUVISION/PCGCv1):
+
+factorized mode (`write/read_binary_files_factorized`, reference :10-70):
+  <name>.strings    = int16[5] shape | int8 min_v | int8 max_v | raw stream
+  <name>.pointnums  = uint16 per cube
+  <name>.cubepos    = cube positions, losslessly coded
+
+hyper mode (`write/read_binary_files_hyper`, reference :75-198):
+  <name>.strings_head  = int16 n_cubes
+                       | uint8 per cube: y_max_v*16 - y_min_v
+                       | per-cube length: uint8, 0-escaped to int16
+                       | int16[5] y_shape (single-cube shape)
+  <name>.strings       = concatenated per-cube y streams
+  <name>.strings_hyper = int16[5] z_shape | int8 z_min,z_max | z stream
+  <name>.pointnums     = uint16 per cube
+  <name>.cubepos       = cube positions, losslessly coded
+
+One deliberate difference: `.cubepos` holds our native octree codec's stream
+(1-byte depth header + arithmetic-coded octree) instead of a tmc3 bitstream —
+the reference shells out to the MPEG G-PCC binary there (`inout_bitstream.py:
+33-34`); size is equivalent (~tens of bytes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from pcgcv1_tpu import native
+
+
+# --------------------------- cube positions ---------------------------------
+
+def encode_cube_positions(cube_positions):
+    pos = np.asarray(cube_positions, np.int64)
+    if pos.min() < 0:
+        raise ValueError("cube positions must be non-negative")
+    depth = max(1, int(np.ceil(np.log2(pos.max() + 1))) if pos.max() > 0 else 1)
+    stream = native.octree_encode(pos.astype(np.uint32), depth)
+    return bytes([depth]) + stream
+
+
+def decode_cube_positions(data, max_cubes=1 << 22):
+    depth = data[0]
+    return native.octree_decode(data[1:], depth, max_cubes)
+
+
+# ------------------------------ factorized ----------------------------------
+
+@dataclasses.dataclass
+class FactorizedStreams:
+    strings: bytes
+    min_v: int
+    max_v: int
+    shape: tuple          # [B, n, n, n, C]
+    points_numbers: np.ndarray
+    cube_positions: np.ndarray
+
+
+def write_factorized(filename, fs: FactorizedStreams, rootdir="./"):
+    os.makedirs(rootdir, exist_ok=True)
+    base = os.path.join(rootdir, filename)
+    with open(base + ".strings", "wb") as f:
+        f.write(np.array(fs.shape, np.int16).tobytes())
+        f.write(np.array((fs.min_v, fs.max_v), np.int8).tobytes())
+        f.write(fs.strings)
+    with open(base + ".pointnums", "wb") as f:
+        f.write(np.asarray(fs.points_numbers, np.uint16).tobytes())
+    with open(base + ".cubepos", "wb") as f:
+        f.write(encode_cube_positions(fs.cube_positions))
+    return {
+        "strings": os.path.getsize(base + ".strings"),
+        "pointnums": os.path.getsize(base + ".pointnums"),
+        "cubepos": os.path.getsize(base + ".cubepos"),
+    }
+
+
+def read_factorized(filename, rootdir="./"):
+    base = os.path.join(rootdir, filename)
+    with open(base + ".strings", "rb") as f:
+        shape = np.frombuffer(f.read(2 * 5), np.int16)
+        min_v, max_v = np.frombuffer(f.read(2), np.int8)
+        strings = f.read()
+    with open(base + ".pointnums", "rb") as f:
+        points_numbers = np.frombuffer(f.read(), np.uint16)
+    with open(base + ".cubepos", "rb") as f:
+        cube_positions = decode_cube_positions(f.read())
+    return FactorizedStreams(strings, int(min_v), int(max_v),
+                             tuple(int(s) for s in shape),
+                             points_numbers, cube_positions)
+
+
+# -------------------------------- hyper -------------------------------------
+
+@dataclasses.dataclass
+class HyperStreams:
+    y_strings: list            # B byte strings
+    y_min_vs: np.ndarray       # int [B]
+    y_max_vs: np.ndarray       # int [B]
+    y_shape: tuple             # [1, n, n, n, C] single-cube shape
+    z_strings: bytes
+    z_min_v: int
+    z_max_v: int
+    z_shape: tuple             # [B, m, m, m, Cz]
+    points_numbers: np.ndarray
+    cube_positions: np.ndarray
+
+
+def write_hyper(filename, hs: HyperStreams, rootdir="./"):
+    os.makedirs(rootdir, exist_ok=True)
+    base = os.path.join(rootdir, filename)
+    y_min = np.asarray(hs.y_min_vs, np.int32)
+    y_max = np.asarray(hs.y_max_vs, np.int32)
+    if (y_min < -15).any() or (y_min > 0).any() or (y_max < 0).any() \
+            or (y_max > 15).any():
+        raise ValueError(
+            "hyper container packs per-cube ranges as uint8 = max*16 - min, "
+            "requiring min in [-15,0] and max in [0,15] "
+            f"(got min {y_min.min()}..{y_min.max()}, "
+            f"max {y_max.min()}..{y_max.max()}); "
+            "reference format constraint (inout_bitstream.py:95-96)")
+    with open(base + ".strings_head", "wb") as f:
+        f.write(np.array(len(hs.y_strings), np.int16).tobytes())
+        f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
+        for s in hs.y_strings:
+            n = len(s)
+            if n <= 255:
+                f.write(np.array(n, np.uint8).tobytes())
+            else:
+                f.write(np.array(0, np.uint8).tobytes())
+                f.write(np.array(n, np.int16).tobytes())
+        f.write(np.array(hs.y_shape, np.int16).tobytes())
+    with open(base + ".strings", "wb") as f:
+        for s in hs.y_strings:
+            f.write(s)
+    with open(base + ".strings_hyper", "wb") as f:
+        f.write(np.array(hs.z_shape, np.int16).tobytes())
+        f.write(np.array((hs.z_min_v, hs.z_max_v), np.int8).tobytes())
+        f.write(hs.z_strings)
+    with open(base + ".pointnums", "wb") as f:
+        f.write(np.asarray(hs.points_numbers, np.uint16).tobytes())
+    with open(base + ".cubepos", "wb") as f:
+        f.write(encode_cube_positions(hs.cube_positions))
+    return {
+        "strings": os.path.getsize(base + ".strings"),
+        "strings_head": os.path.getsize(base + ".strings_head"),
+        "strings_hyper": os.path.getsize(base + ".strings_hyper"),
+        "pointnums": os.path.getsize(base + ".pointnums"),
+        "cubepos": os.path.getsize(base + ".cubepos"),
+    }
+
+
+def read_hyper(filename, rootdir="./"):
+    base = os.path.join(rootdir, filename)
+    with open(base + ".strings_head", "rb") as f:
+        n_cubes = int(np.frombuffer(f.read(2), np.int16)[0])
+        packed = np.frombuffer(f.read(n_cubes), np.uint8).astype(np.int32)
+        y_max_vs = packed // 16
+        y_min_vs = -(packed % 16)
+        lens = []
+        for _ in range(n_cubes):
+            l = int(np.frombuffer(f.read(1), np.uint8)[0])
+            if l == 0:
+                l = int(np.frombuffer(f.read(2), np.int16)[0])
+            lens.append(l)
+        y_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
+    with open(base + ".strings", "rb") as f:
+        y_strings = [f.read(l) for l in lens]
+    with open(base + ".strings_hyper", "rb") as f:
+        z_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
+        z_min_v, z_max_v = np.frombuffer(f.read(2), np.int8)
+        z_strings = f.read()
+    with open(base + ".pointnums", "rb") as f:
+        points_numbers = np.frombuffer(f.read(), np.uint16)
+    with open(base + ".cubepos", "rb") as f:
+        cube_positions = decode_cube_positions(f.read())
+    return HyperStreams(y_strings, y_min_vs, y_max_vs, y_shape,
+                        z_strings, int(z_min_v), int(z_max_v), z_shape,
+                        points_numbers, cube_positions)

@@ -1,0 +1,79 @@
+"""Model registry: name -> transform family.
+
+Replaces the reference's dotted-import model selection
+(`importlib.import_module(args.modelname)`, `test.py:72`) with an explicit
+registry; reference names are accepted as aliases.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from pcgcv1_tpu.models import simple, voxception
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelFamily:
+    name: str
+    analysis: Callable[..., Any]
+    synthesis: Callable[..., Any]
+    hyper_encoder: Optional[Callable[..., Any]]
+    hyper_decoder: Optional[Callable[..., Any]]
+    latent_channels: int
+    hyper_channels: Optional[int]
+    down_factor: int  # spatial downsampling of the analysis transform
+
+    def make(self, dtype=jnp.float32, hyper=False):
+        """Instantiate flax modules; returns dict of modules."""
+        mods = {
+            "analysis": self.analysis(dtype=dtype),
+            "synthesis": self.synthesis(dtype=dtype),
+        }
+        if hyper:
+            if self.hyper_encoder is None:
+                raise ValueError(
+                    f"model family '{self.name}' has no hyperprior")
+            mods["hyper_encoder"] = self.hyper_encoder(dtype=dtype)
+            mods["hyper_decoder"] = self.hyper_decoder()
+        return mods
+
+
+_REGISTRY = {
+    "voxception": ModelFamily(
+        name="voxception",
+        analysis=voxception.AnalysisTransform,
+        synthesis=voxception.SynthesisTransform,
+        hyper_encoder=voxception.HyperEncoder,
+        hyper_decoder=voxception.HyperDecoder,
+        latent_channels=16,
+        hyper_channels=8,
+        down_factor=4,
+    ),
+    "simple": ModelFamily(
+        name="simple",
+        analysis=simple.AnalysisTransform,
+        synthesis=simple.SynthesisTransform,
+        hyper_encoder=None,
+        hyper_decoder=None,
+        latent_channels=32,
+        hyper_channels=None,
+        down_factor=8,
+    ),
+}
+
+# reference CLI aliases (test.py --modelname)
+_ALIASES = {
+    "models.model_voxception": "voxception",
+    "models.model_simple": "simple",
+}
+
+
+def get_model(name: str) -> ModelFamily:
+    name = _ALIASES.get(name, name)
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown model '{name}'; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]

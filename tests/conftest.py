@@ -15,6 +15,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import numpy as np
 import pytest
 
+from pcgcv1_tpu.utils.jaxcache import enable_cache
+
+enable_cache()
+
 
 @pytest.fixture
 def rng():
