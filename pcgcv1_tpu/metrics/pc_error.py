@@ -59,7 +59,7 @@ def pc_error(points_a, points_b, resolution, normals_a=None):
     peak = float(resolution)
 
     # direction 1: A as source, match into B; p2plane normal = n_a
-    sq_ab, err_ab, _ = _directional(a, b, None)
+    sq_ab, err_ab, idx_ab = _directional(a, b, None)
     # direction 2: B as source, match into A; p2plane normal = n_a[idx]
     sq_ba, err_ba, idx_ba = _directional(b, a, None)
 
@@ -87,9 +87,28 @@ def pc_error(points_a, points_b, resolution, normals_a=None):
         n = np.asarray(normals_a, np.float64)
         norm = np.linalg.norm(n, axis=1, keepdims=True)
         n = n / np.where(norm > 0, norm, 1.0)
-        # direction 1: error of a projected on its own normal
-        p1 = (err_ab * n).sum(axis=1) ** 2
-        # direction 2: error of b projected on the normal of its match in A
+        # pc_error (v0.13.4, averageNormals=1) transfers normals onto B by
+        # reverse splatting: normal(b) := mean of the normals of every a
+        # whose (tied) nearest neighbor is b, NOT re-normalized. Direction 1
+        # (loop over A, "use normals on B") projects the error onto that
+        # transferred normal. Validated against the MPEG binary: Hausdorff
+        # matches to 4 decimals, MSE within ~0.1% (residual = NN tie-pick
+        # order inside its kd-tree).
+        k_t = min(8, len(b))
+        d_t, i_t = cKDTree(b).query(a, k=k_t, workers=-1)
+        d_t = d_t.reshape(len(a), -1)
+        i_t = i_t.reshape(len(a), -1)
+        tied = np.abs(d_t - d_t[:, :1]) < 1e-9
+        n_b = np.zeros((len(b), 3), np.float64)
+        cnt = np.zeros(len(b), np.float64)
+        for k in range(k_t):
+            sel = tied[:, k]
+            np.add.at(n_b, i_t[sel, k], n[sel])
+            np.add.at(cnt, i_t[sel, k], 1)
+        mapped = cnt > 0
+        n_b[mapped] /= cnt[mapped, None]
+        p1 = (err_ab * n_b[idx_ab]).sum(axis=1) ** 2
+        # direction 2 (loop over B, normals on A): true normal at the match
         p2 = (err_ba * n[idx_ba]).sum(axis=1) ** 2
         mse1p = float(p1.mean())
         mse2p = float(p2.mean())
