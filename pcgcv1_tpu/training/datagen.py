@@ -1,0 +1,157 @@
+"""Dataset generation: meshes -> point clouds -> per-cube training shards.
+
+Capability parity with the reference's dataset tooling:
+- `dataprocess/mesh2pc.py` / `mesh2pc_open3d.py`: sample ~4e5 points per
+  mesh surface, random rotation (QR of a Gaussian), normalize to a voxel
+  grid, round + dedupe. The reference depends on pyntcloud/open3d; this is
+  a dependency-free numpy implementation (area-weighted triangle sampling)
+  reading OBJ/OFF/PLY triangle meshes.
+- `generate_dataset.py`: partition clouds into cubes (min_num filter) and
+  write shuffled per-cube training data. Output here is the packed .npz
+  shard format of `training.data` (plus optional reference-style h5).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import random
+
+import numpy as np
+
+from pcgcv1_tpu.ops import partition, ply
+
+
+# ----------------------------- mesh loading ---------------------------------
+
+def load_mesh(path):
+    """Load a triangle mesh -> (vertices float64 [V,3], faces int64 [F,3])."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".obj":
+        return _load_obj(path)
+    if ext == ".off":
+        return _load_off(path)
+    raise ValueError(f"unsupported mesh format {ext!r}")
+
+
+def _load_obj(path):
+    verts, faces = [], []
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                verts.append([float(t[1]), float(t[2]), float(t[3])])
+            elif t[0] == "f":
+                idx = [int(w.split("/")[0]) - 1 for w in t[1:]]
+                for k in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
+
+def _load_off(path):
+    with open(path) as f:
+        header = f.readline().strip()
+        if header == "OFF":
+            counts = f.readline().split()
+        elif header.startswith("OFF"):
+            counts = header[3:].split()
+        else:
+            raise ValueError("not an OFF file")
+        nv, nf = int(counts[0]), int(counts[1])
+        verts = np.array([[float(x) for x in f.readline().split()[:3]]
+                          for _ in range(nv)])
+        faces = []
+        for _ in range(nf):
+            t = [int(x) for x in f.readline().split()]
+            for k in range(2, t[0]):
+                faces.append([t[1], t[k], t[k + 1]])
+    return verts, np.asarray(faces, np.int64)
+
+
+# --------------------------- sampling pipeline ------------------------------
+
+def random_rotation(rng):
+    """Uniform-ish random rotation via QR of a Gaussian
+    (reference mesh2pc.py:26-31)."""
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    return q * np.sign(np.diag(r))
+
+
+def sample_mesh_points(vertices, faces, n_points=400_000, rng=None):
+    """Area-weighted uniform sampling on the triangle surface."""
+    rng = rng or np.random.default_rng()
+    v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
+    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    total = areas.sum()
+    if total <= 0:
+        raise ValueError("degenerate mesh (zero surface area)")
+    tri = rng.choice(len(faces), size=n_points, p=areas / total)
+    u = rng.random(n_points)
+    v = rng.random(n_points)
+    flip = u + v > 1
+    u[flip], v[flip] = 1 - u[flip], 1 - v[flip]
+    return (v0[tri] + u[:, None] * (v1[tri] - v0[tri])
+            + v[:, None] * (v2[tri] - v0[tri]))
+
+
+def mesh_to_cloud(path, n_points=400_000, resolution=255, rotate=True,
+                  rng=None):
+    """Mesh file -> voxelized int point cloud in [0, resolution]
+    (reference mesh2pc.py:56-89 pipeline: sample, rotate, normalize to the
+    grid, round, dedupe)."""
+    rng = rng or np.random.default_rng()
+    verts, faces = load_mesh(path)
+    pts = sample_mesh_points(verts, faces, n_points, rng)
+    if rotate:
+        pts = pts @ random_rotation(rng).T
+    pts = pts - pts.min(axis=0)
+    extent = pts.max()
+    if extent > 0:
+        pts = pts * (resolution / extent)
+    return np.unique(np.round(pts), axis=0).astype(np.int32)
+
+
+# --------------------------- shard generation -------------------------------
+
+def generate_dataset(ply_glob, out_dir, cube_size=64, min_num=20,
+                     cubes_per_shard=4096, seed=0, write_h5=False):
+    """Point-cloud PLYs -> shuffled per-cube training shards
+    (reference generate_dataset.py:11-49).
+
+    Returns the number of cubes written.
+    """
+    files = sorted(glob.glob(ply_glob))
+    if not files:
+        raise FileNotFoundError(f"no PLYs match {ply_glob!r}")
+    os.makedirs(out_dir, exist_ok=True)
+    all_cubes = []
+    for f in files:
+        pts = ply.load_ply(f)
+        try:
+            local, ids, positions, _ = partition.partition_points(
+                pts, cube_size, min_num)
+        except ValueError:
+            continue
+        for i in range(len(positions)):
+            all_cubes.append(local[ids == i].astype(np.int16))
+    rnd = random.Random(seed)
+    rnd.shuffle(all_cubes)
+
+    if write_h5:
+        import h5py
+        for i, cube in enumerate(all_cubes):
+            with h5py.File(os.path.join(out_dir, f"{i}.h5"), "w") as h:
+                h.create_dataset("data", data=cube.astype(np.uint8))
+        return len(all_cubes)
+
+    for s in range(0, len(all_cubes), cubes_per_shard):
+        chunk = all_cubes[s:s + cubes_per_shard]
+        offsets = np.zeros(len(chunk) + 1, np.int64)
+        offsets[1:] = np.cumsum([len(c) for c in chunk])
+        np.savez_compressed(
+            os.path.join(out_dir, f"shard_{s // cubes_per_shard:05d}.npz"),
+            points=np.concatenate(chunk).astype(np.int16),
+            offsets=offsets)
+    return len(all_cubes)

@@ -1,0 +1,276 @@
+"""R-D training loop (pjit, data-parallel over the cube batch).
+
+Capability parity with the reference trainers (`train_factorized.py`,
+`train_hyper.py`): Adam (default lr 1e-5, batch 8), loss
+
+    factorized: alpha*(beta*bce_empty + bce_full) + bpp            (:158-163)
+    hyper:      alpha*(beta*bce_empty + bce_full)
+                + delta*bpp_y + gamma*bpp_z                        (:193-199)
+
+with bpp normalized by occupied input voxels, scale lower bound on the
+hyper-decoder output ("start with large lower bound to avoid crashes",
+train_hyper.py:189), IoU/precision/recall via the rho=1 adaptive threshold,
+periodic eval and checkpointing, auto-resume, and warm start from an
+initial checkpoint with optional optimizer reset (train_hyper.py:271-284).
+
+TPU redesign: one jitted train step over the whole batch (the reference
+voxelizes and iterates eagerly), sharded over a ('data','model') mesh —
+gradients are averaged by XLA-inserted ICI collectives via GSPMD; metrics
+(including the per-cube top-k IoU, a device sort) stay on device, so there
+is no per-step host sync (the reference round-trips x_tilde through numpy
+every step, train_hyper.py:217-225).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pcgcv1_tpu.entropy import FactorizedEntropy, conditional
+from pcgcv1_tpu.models import get_model
+from pcgcv1_tpu.parallel import mesh as mesh_lib
+from pcgcv1_tpu.training import losses
+from pcgcv1_tpu.utils import checkpoint as ckpt_lib
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model: str = "voxception"
+    mode: str = "hyper"                # "hyper" | "factorized"
+    alpha: float = 2.0                 # distortion weight
+    beta: float = 3.0                  # empty-position weight
+    gamma: float = 1.0                 # hyper-bpp weight
+    delta: float = 1.0                 # latent-bpp weight
+    lr: float = 1e-5
+    batch_size: int = 8
+    cube_size: int = 64
+    num_iterations: int = 300_000
+    scale_lower_bound: float = 1e-9
+    ckpt_dir: str = "checkpoints/run"
+    init_ckpt_dir: str = ""
+    reset_optimizer: bool = False
+    log_every: int = 100
+    save_every: int = 5000
+    eval_samples: int = 256
+    dtype: Any = jnp.float32
+    seed: int = 0
+
+
+class Trainer:
+    def __init__(self, cfg: TrainConfig, mesh=None):
+        self.cfg = cfg
+        self.hyper = cfg.mode == "hyper"
+        self.family = get_model(cfg.model)
+        self.mods = self.family.make(dtype=cfg.dtype, hyper=self.hyper)
+        bottleneck_channels = (self.family.hyper_channels if self.hyper
+                               else self.family.latent_channels)
+        self.estimator = FactorizedEntropy(channels=bottleneck_channels)
+        self.mesh = mesh
+        self.optimizer = optax.adam(cfg.lr)
+        self.state = self._init_state()
+        self._restore()
+        self._step_fn = self._build_step()
+
+    # ------------------------------------------------------------- state --
+    def _init_params(self):
+        cfg = self.cfg
+        key = jax.random.PRNGKey(cfg.seed)
+        keys = jax.random.split(key, 8)
+        cs, f = 16, self.family.down_factor
+        x = jnp.zeros((1, cs, cs, cs, 1), jnp.float32)
+        y = jnp.zeros((1, cs // f, cs // f, cs // f,
+                       self.family.latent_channels), jnp.float32)
+        params = {
+            "analysis": self.mods["analysis"].init(keys[0], x)["params"],
+            "synthesis": self.mods["synthesis"].init(keys[1], y)["params"],
+        }
+        if self.hyper:
+            z = jnp.zeros((1, cs // f // 2,) * 3 + (
+                self.family.hyper_channels,), jnp.float32)
+            params["hyper_encoder"] = self.mods["hyper_encoder"].init(
+                keys[2], y)["params"]
+            params["hyper_decoder"] = self.mods["hyper_decoder"].init(
+                keys[3], z)["params"]
+            est_in = z
+        else:
+            est_in = y
+        params["estimator"] = self.estimator.init(
+            {"params": keys[4]}, est_in, training=False)["params"]
+        return params
+
+    def _init_state(self):
+        params = self._init_params()
+        return {
+            "params": params,
+            "opt_state": self.optimizer.init(params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+
+    def _restore(self):
+        cfg = self.cfg
+        restored = ckpt_lib.restore(cfg.ckpt_dir, like=self.state)
+        if restored is not None:
+            self.state = restored
+            return
+        if cfg.init_ckpt_dir:
+            # warm start: take params (and optimizer unless reset)
+            init = ckpt_lib.restore(cfg.init_ckpt_dir, like=self.state)
+            if init is None:
+                raise FileNotFoundError(
+                    f"init_ckpt_dir {cfg.init_ckpt_dir!r} has no checkpoint")
+            self.state["params"] = init["params"]
+            if not cfg.reset_optimizer:
+                self.state["opt_state"] = init["opt_state"]
+                self.state["step"] = init["step"]
+
+    def save(self):
+        ckpt_lib.save(self.cfg.ckpt_dir, self.state,
+                      step=int(self.state["step"]))
+
+    # -------------------------------------------------------------- step --
+    def _forward(self, params, x, training, rng):
+        """Returns (x_tilde, metrics dict of scalars)."""
+        cfg = self.cfg
+        mods = self.mods
+        rng_z, rng_y = jax.random.split(rng)
+        num_points = jnp.maximum(
+            jnp.sum((jnp.sum(x, axis=-1) > 0).astype(jnp.float32)), 1.0)
+        y = mods["analysis"].apply({"params": params["analysis"]}, x)
+        if self.hyper:
+            z = mods["hyper_encoder"].apply(
+                {"params": params["hyper_encoder"]}, y)
+            z_tilde, lik_z = self.estimator.apply(
+                {"params": params["estimator"]}, z, training=training,
+                rng=rng_z)
+            loc, scale = mods["hyper_decoder"].apply(
+                {"params": params["hyper_decoder"]}, z_tilde)
+            scale = jnp.maximum(scale, cfg.scale_lower_bound)
+            y_tilde, lik_y = conditional.apply(y, loc, scale,
+                                               training=training, rng=rng_y)
+            bpp_y = losses.bpp_from_likelihoods(lik_y, num_points)
+            bpp_z = losses.bpp_from_likelihoods(lik_z, num_points)
+        else:
+            y_tilde, lik_y = self.estimator.apply(
+                {"params": params["estimator"]}, y, training=training,
+                rng=rng_y)
+            bpp_y = losses.bpp_from_likelihoods(lik_y, num_points)
+            bpp_z = jnp.zeros(())
+        x_tilde = mods["synthesis"].apply(
+            {"params": params["synthesis"]}, y_tilde)
+        empty_l, full_l = losses.bce_losses(x_tilde, x)
+        distortion = cfg.beta * empty_l + full_l
+        if self.hyper:
+            loss = (cfg.alpha * distortion + cfg.delta * bpp_y
+                    + cfg.gamma * bpp_z)
+        else:
+            loss = cfg.alpha * distortion + bpp_y
+        return x_tilde, {"loss": loss, "bpp_ae": bpp_y, "bpp_hyper": bpp_z,
+                         "distortion": distortion}
+
+    def _iou(self, x_tilde, x):
+        """rho=1 adaptive-threshold IoU on device (reference computes this
+        via a numpy round trip per step)."""
+        b = x.shape[0]
+        flat = x_tilde.reshape(b, -1)
+        nums = jnp.sum(x.reshape(b, -1), axis=-1).astype(jnp.int32)
+        nums = jnp.clip(nums, 1, flat.shape[-1])
+        srt = jnp.sort(flat, axis=-1)
+        idx = jnp.clip(flat.shape[-1] - nums, 0, flat.shape[-1] - 1)
+        thres = jnp.take_along_axis(srt, idx[:, None], axis=-1)
+        mask = (flat >= thres).astype(jnp.float32)
+        _, _, iou = losses.classify_metrics(
+            mask, x.reshape(b, -1), 0.0)
+        return iou
+
+    def _build_step(self):
+        def step_fn(state, batch, rng):
+            def loss_fn(params):
+                x_tilde, m = self._forward(params, batch, True, rng)
+                return m["loss"], (x_tilde, m)
+
+            grads, (x_tilde, metrics) = jax.grad(
+                loss_fn, has_aux=True)(state["params"])
+            updates, opt_state = self.optimizer.update(
+                grads, state["opt_state"], state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            metrics["iou"] = self._iou(x_tilde, batch)
+            new_state = {"params": params, "opt_state": opt_state,
+                         "step": state["step"] + 1}
+            return new_state, metrics
+
+        if self.mesh is None:
+            return jax.jit(step_fn, donate_argnums=0)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        state_sh = jax.tree.map(
+            lambda _: NamedSharding(self.mesh, P()), self.state)
+        param_sh = mesh_lib.shard_params(self.state["params"], self.mesh)
+        state_sh["params"] = param_sh
+        batch_sh = mesh_lib.batch_sharding(self.mesh)
+        self.state = jax.device_put(self.state, state_sh)
+        return jax.jit(step_fn, donate_argnums=0,
+                       in_shardings=(state_sh, batch_sh, None),
+                       out_shardings=(state_sh, None))
+
+    def train_step(self, batch):
+        rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 1),
+                                 int(self.state["step"]))
+        batch = jnp.asarray(batch, jnp.float32)
+        if self.mesh is not None:
+            batch = jax.device_put(batch,
+                                   mesh_lib.batch_sharding(self.mesh))
+        self.state, metrics = self._step_fn(self.state, batch, rng)
+        return metrics
+
+    # -------------------------------------------------------------- eval --
+    def eval_step(self, batch):
+        if not hasattr(self, "_eval_fn"):
+            def eval_fn(params, x, rng):
+                x_tilde, m = self._forward(params, x, False, rng)
+                m["iou"] = self._iou(x_tilde, x)
+                return m
+            self._eval_fn = jax.jit(eval_fn)
+        rng = jax.random.PRNGKey(0)
+        return self._eval_fn(self.state["params"],
+                             jnp.asarray(batch, jnp.float32), rng)
+
+    # --------------------------------------------------------------- fit --
+    def fit(self, batches, num_iterations=None, log_fn=print,
+            eval_batches_fn=None):
+        """Run the training loop over an iterator of [B,cs,cs,cs,1] batches.
+
+        Returns the final step count.
+        """
+        cfg = self.cfg
+        n = num_iterations or cfg.num_iterations
+        accum = []
+        t0 = time.time()
+        for batch in batches:
+            step = int(self.state["step"])
+            if step >= n:
+                break
+            metrics = self.train_step(batch)
+            accum.append(metrics)
+            step += 1
+            if step % cfg.log_every == 0:
+                avg = {k: float(np.mean([float(m[k]) for m in accum]))
+                       for k in accum[0]}
+                avg.update(step=step,
+                           sps=len(accum) / (time.time() - t0))
+                log_fn(avg)
+                accum, t0 = [], time.time()
+            if step % cfg.save_every == 0:
+                if eval_batches_fn is not None:
+                    stats = [self.eval_step(b) for b in eval_batches_fn()]
+                    log_fn({("eval_" + k): float(np.mean(
+                        [float(s[k]) for s in stats]))
+                        for k in stats[0]} | {"step": step})
+                self.save()
+        return int(self.state["step"])

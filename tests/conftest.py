@@ -1,16 +1,18 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set the env vars before the first jax import anywhere in the test
-process, hence module-level side effects here.
+The axon TPU plugin registers itself via sitecustomize and overrides
+JAX_PLATFORMS through jax.config, so env vars alone don't stick — we
+override back through jax.config after import. Set PCGC_TEST_TPU=1 to run
+the suite on the real device instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+
+if not os.environ.get("PCGC_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest
