@@ -1,0 +1,94 @@
+"""Headline benchmark: full codec throughput on a longdress-scale workload.
+
+Measures end-to-end encode+decode of the hyper-mode voxception codec over a
+vox10-scale synthetic surface cloud (~860k points -> ~200+ cubes of 64^3),
+on whatever accelerator JAX provides (the real TPU chip under the driver).
+
+Baseline: the reference (TF1.13, single GPU, BASELINE.md timing table)
+spends ~18.0 s in the equivalent stages for 202 cubes — analysis 7.4 +
+hyper enc 0.18 + hyper dec 0.35 + entropy enc 1.52 (encode) and z dec 0.15
++ hyper dec 0.35 + entropy dec 1.35 + synthesis 6.7 (decode) — i.e.
+~11.2 cubes/s for one full encode+decode round trip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+import warnings
+
+import numpy as np
+
+REFERENCE_CUBES_PER_SEC = 11.2  # BASELINE.md stage sum, see module docstring
+
+
+def _workload(n_target=860_000, res=1024, seed=0):
+    """Synthetic vox10 surface cloud, longdress-ish density/cube count."""
+    rng = np.random.default_rng(seed)
+    # a tall curved sheet: matches the "human figure" occupancy pattern of
+    # ~200 occupied 64^3 cubes at vox10 (202 for longdress)
+    n = int(n_target * 1.4)
+    u = rng.uniform(0, 1, n)
+    v = rng.uniform(0, 1, n)
+    x = 300 + 220 * u + 60 * np.sin(6.28 * v)
+    y = 1000 * v
+    z = 400 + 150 * np.sin(3.1 * u + 2.0 * v) + 90 * u
+    pts = np.stack([x, y, z], 1) + rng.normal(0, 1.2, (n, 3))
+    pts = np.clip(np.round(pts), 0, res - 1).astype(np.int32)
+    return np.unique(pts, axis=0)
+
+
+def main():
+    warnings.simplefilter("ignore")
+    from pcgcv1_tpu.utils.jaxcache import enable_cache
+    enable_cache()
+    import jax
+    from pcgcv1_tpu.codec import pipeline
+    from pcgcv1_tpu.codec.transforms import PointCloudCodec
+
+    chunk = int(os.environ.get("PCGC_BENCH_CHUNK", "32"))
+    dtype_name = os.environ.get("PCGC_BENCH_DTYPE", "bfloat16")
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    pts = _workload()
+    pre = pipeline.preprocess_points(pts, cube_size=64, min_num=64)
+    n_cubes = pre.cubes.shape[0]
+    print(f"workload: {len(pts)} points, {n_cubes} cubes of 64^3, "
+          f"platform={jax.devices()[0].platform}, chunk={chunk}, "
+          f"dtype={dtype_name}", file=sys.stderr)
+
+    codec = PointCloudCodec(mode="hyper", chunk=chunk, dtype=dtype)
+
+    nums = pre.points_numbers
+
+    # warmup: compile everything once
+    hs = codec.compress_hyper(pre.cubes)
+    codec.decompress_hyper_masks(hs, nums, 1.0)
+
+    best = 0.0
+    for _ in range(3):
+        t0 = time.time()
+        hs = codec.compress_hyper(pre.cubes)
+        t_enc = time.time() - t0
+        t0 = time.time()
+        codec.decompress_hyper_masks(hs, nums, 1.0)
+        t_dec = time.time() - t0
+        cps = n_cubes / (t_enc + t_dec)
+        print(f"encode {t_enc:.2f}s decode {t_dec:.2f}s -> "
+              f"{cps:.1f} cubes/s", file=sys.stderr)
+        best = max(best, cps)
+
+    print(json.dumps({
+        "metric": "hyper codec encode+decode throughput (64^3 cubes, "
+                  "vox10-scale cloud)",
+        "value": round(best, 2),
+        "unit": "cubes/s",
+        "vs_baseline": round(best / REFERENCE_CUBES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Command-line interface.
+
+Capability parity with the reference entry points:
+
+- ``compress`` / ``decompress``: `test.py` (same positional args and flags
+  --mode/--modelname/--ckpt_dir/--scale/--cube_size/--min_num/--rho).
+- ``train``: `train_factorized.py` / `train_hyper.py` flags
+  (--alpha/--beta/--gamma/--delta/--lr/--batch_size/--init_ckpt_dir/
+  --reset_optimizer/--lower_bound/--prefix).
+- ``eval``: `eval.py` R-D sweep over an INI config.
+- ``gen-dataset`` / ``mesh2pc``: `generate_dataset.py`, `mesh2pc*.py`.
+
+Run as ``python -m pcgcv1_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from pcgcv1_tpu.utils.jaxcache import enable_cache
+
+
+def _add_codec_flags(p):
+    p.add_argument("--mode", default="hyper",
+                   choices=["hyper", "factorized"])
+    p.add_argument("--modelname", default="voxception",
+                   help="voxception | simple (reference dotted aliases ok)")
+    p.add_argument("--ckpt_dir", default="", help="checkpoint directory")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--cube_size", type=int, default=64)
+    p.add_argument("--min_num", type=int, default=64)
+    p.add_argument("--rho", type=float, default=1.0)
+    p.add_argument("--fixed_thres", type=float, default=None)
+    p.add_argument("--chunk", type=int, default=64,
+                   help="cubes per jitted device step (encode and decode "
+                        "of one stream must match)")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--rootdir", default="./compressed")
+
+
+def _make_codec(args):
+    import jax.numpy as jnp
+    from pcgcv1_tpu.codec.transforms import PointCloudCodec
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    return PointCloudCodec(
+        model=args.modelname, mode=args.mode,
+        ckpt_dir=args.ckpt_dir or None, dtype=dtype, chunk=args.chunk,
+        cube_size=args.cube_size)
+
+
+def cmd_compress(args):
+    from pcgcv1_tpu.codec import bitstream, pipeline
+    t0 = time.time()
+    pre = pipeline.preprocess(args.input, args.scale, args.cube_size,
+                              args.min_num)
+    print(f"preprocess: {time.time()-t0:.2f}s  "
+          f"{pre.cubes.shape[0]} cubes, "
+          f"{int(pre.points_numbers.astype(np.int64).sum())} points")
+    codec = _make_codec(args)
+    name = args.output or os.path.splitext(
+        os.path.basename(args.input))[0]
+    t0 = time.time()
+    if args.mode == "factorized":
+        strings, mn, mx, shape = codec.compress_factorized(pre.cubes)
+        fs = bitstream.FactorizedStreams(
+            strings, mn, mx, shape, pre.points_numbers, pre.cube_positions)
+        sizes = bitstream.write_factorized(name, fs, rootdir=args.rootdir)
+    else:
+        hs = codec.compress_hyper(pre.cubes)
+        hs.points_numbers = pre.points_numbers
+        hs.cube_positions = pre.cube_positions
+        sizes = bitstream.write_hyper(name, hs, rootdir=args.rootdir)
+    n_points = int(pre.points_numbers.astype(np.int64).sum())
+    total = sum(sizes.values())
+    print(f"encode: {time.time()-t0:.2f}s")
+    for k, v in sizes.items():
+        print(f"  {k}: {v} B ({8*v/n_points:.4f} bpp)")
+    print(f"total: {total} B  bpp: {8*total/n_points:.4f}")
+
+
+def cmd_decompress(args):
+    from pcgcv1_tpu.codec import bitstream, pipeline
+    rootdir, name = os.path.split(args.input)
+    rootdir = rootdir or "."
+    out = args.output or name + "_rec.ply"
+    codec = _make_codec(args)
+    t0 = time.time()
+    if args.mode == "factorized":
+        fs = bitstream.read_factorized(name, rootdir)
+        nums, pos = fs.points_numbers, fs.cube_positions
+        if args.fixed_thres is None:
+            masks = codec.decompress_factorized_masks(
+                fs.strings, fs.min_v, fs.max_v, fs.shape, nums, args.rho)
+        else:
+            logits = codec.decompress_factorized(
+                fs.strings, fs.min_v, fs.max_v, fs.shape)
+    else:
+        hs = bitstream.read_hyper(name, rootdir)
+        nums, pos = hs.points_numbers, hs.cube_positions
+        if args.fixed_thres is None:
+            masks = codec.decompress_hyper_masks(hs, nums, args.rho)
+        else:
+            logits = codec.decompress_hyper(hs)
+    print(f"decode: {time.time()-t0:.2f}s")
+    t0 = time.time()
+    if args.fixed_thres is None:
+        points = pipeline.postprocess_from_masks(
+            masks, pos, args.scale, args.cube_size)
+        from pcgcv1_tpu.ops import write_ply
+        write_ply(out, points.astype(np.int64) if args.scale == 1
+                  else points)
+    else:
+        pipeline.postprocess(out, logits, nums, pos, args.scale,
+                             args.cube_size, args.rho, args.fixed_thres)
+    print(f"postprocess -> {out}: {time.time()-t0:.2f}s")
+
+
+def cmd_train(args):
+    import jax.numpy as jnp
+    from pcgcv1_tpu.training import data as data_lib
+    from pcgcv1_tpu.training.train import TrainConfig, Trainer
+    from pcgcv1_tpu.parallel import make_mesh
+    import jax
+
+    ckpt_dir = args.ckpt_dir or os.path.join(
+        "checkpoints",
+        f"{args.prefix}{args.mode}_a{args.alpha:.2f}b{args.beta:.2f}")
+    cfg = TrainConfig(
+        model=args.modelname, mode=args.mode, alpha=args.alpha,
+        beta=args.beta, gamma=args.gamma, delta=args.delta, lr=args.lr,
+        batch_size=args.batch_size, cube_size=args.cube_size,
+        num_iterations=int(args.num_iteration),
+        scale_lower_bound=args.lower_bound, ckpt_dir=ckpt_dir,
+        init_ckpt_dir=args.init_ckpt_dir,
+        reset_optimizer=bool(args.reset_optimizer),
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
+    mesh = None
+    if args.data_parallel > 1 or args.model_parallel > 1:
+        mesh = make_mesh(args.data_parallel or None, args.model_parallel)
+    trainer = Trainer(cfg, mesh=mesh)
+    ds = data_lib.make_dataset(args.data, cube_size=args.cube_size)
+    log_path = os.path.join(ckpt_dir, "train_log.jsonl")
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    def log_fn(m):
+        print(" ".join(f"{k}={v:.5g}" if isinstance(v, float) else
+                       f"{k}={v}" for k, v in m.items()))
+        with open(log_path, "a") as f:
+            f.write(json.dumps(m) + "\n")
+
+    trainer.fit(ds.batches(cfg.batch_size), log_fn=log_fn,
+                eval_batches_fn=lambda: ds.eval_batches(
+                    cfg.batch_size, cfg.eval_samples))
+    trainer.save()
+
+
+def cmd_eval(args):
+    from pcgcv1_tpu import evalharness
+    evalharness.run_eval(args)
+
+
+def cmd_gen_dataset(args):
+    from pcgcv1_tpu.training import datagen
+    n = datagen.generate_dataset(
+        args.input, args.outdir, cube_size=args.cube_size,
+        min_num=args.min_num, write_h5=args.h5)
+    print(f"wrote {n} cubes to {args.outdir}")
+
+
+def cmd_mesh2pc(args):
+    from pcgcv1_tpu.ops import write_ply
+    from pcgcv1_tpu.training import datagen
+    from pcgcv1_tpu.metrics import estimate_normals
+    rng = np.random.default_rng(args.seed)
+    pts = datagen.mesh_to_cloud(args.input, n_points=args.n_points,
+                                resolution=args.resolution,
+                                rotate=not args.no_rotate, rng=rng)
+    normals = estimate_normals(pts) if args.normals else None
+    write_ply(args.output, pts if normals is None else
+              pts.astype(np.float64), normals=normals)
+    print(f"{args.input} -> {args.output}: {len(pts)} points")
+
+
+def main(argv=None):
+    enable_cache()
+    p = argparse.ArgumentParser(
+        prog="pcgc", description=__doc__,
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pc = sub.add_parser("compress", help="point cloud -> bitstream files")
+    pc.add_argument("input")
+    pc.add_argument("output", nargs="?")
+    _add_codec_flags(pc)
+    pc.set_defaults(fn=cmd_compress)
+
+    pd = sub.add_parser("decompress", help="bitstream files -> point cloud")
+    pd.add_argument("input", help="path prefix of the compressed files")
+    pd.add_argument("output", nargs="?")
+    _add_codec_flags(pd)
+    pd.set_defaults(fn=cmd_decompress)
+
+    pt = sub.add_parser("train", help="rate-distortion training")
+    pt.add_argument("--data", default="synthetic",
+                    help="'synthetic', h5 glob, or npz shard glob")
+    pt.add_argument("--modelname", default="voxception")
+    pt.add_argument("--mode", default="hyper",
+                    choices=["hyper", "factorized"])
+    pt.add_argument("--alpha", type=float, default=2.0)
+    pt.add_argument("--beta", type=float, default=3.0)
+    pt.add_argument("--gamma", type=float, default=1.0)
+    pt.add_argument("--delta", type=float, default=1.0)
+    pt.add_argument("--lr", type=float, default=1e-5)
+    pt.add_argument("--num_iteration", type=float, default=3e5)
+    pt.add_argument("--batch_size", type=int, default=8)
+    pt.add_argument("--cube_size", type=int, default=64)
+    pt.add_argument("--prefix", default="")
+    pt.add_argument("--ckpt_dir", default="")
+    pt.add_argument("--init_ckpt_dir", default="")
+    pt.add_argument("--reset_optimizer", type=int, default=0)
+    pt.add_argument("--lower_bound", type=float, default=1e-9)
+    pt.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    pt.add_argument("--data_parallel", type=int, default=1)
+    pt.add_argument("--model_parallel", type=int, default=1)
+    pt.set_defaults(fn=cmd_train)
+
+    pe = sub.add_parser("eval", help="rate-distortion sweep (INI config)")
+    pe.add_argument("--input", required=True, help="PLY file or directory")
+    pe.add_argument("--rootdir", default="./eval_out")
+    pe.add_argument("--cfgdir", required=True, help="INI config path")
+    pe.add_argument("--res", type=int, default=1024)
+    pe.add_argument("--mode", default="hyper",
+                    choices=["hyper", "factorized"])
+    pe.add_argument("--modelname", default="voxception")
+    pe.add_argument("--chunk", type=int, default=64)
+    pe.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    pe.set_defaults(fn=cmd_eval)
+
+    pg = sub.add_parser("gen-dataset", help="PLYs -> per-cube shards")
+    pg.add_argument("--input", required=True, help="glob of PLY files")
+    pg.add_argument("--outdir", required=True)
+    pg.add_argument("--cube_size", type=int, default=64)
+    pg.add_argument("--min_num", type=int, default=20)
+    pg.add_argument("--h5", action="store_true",
+                    help="write reference-style per-cube h5 files")
+    pg.set_defaults(fn=cmd_gen_dataset)
+
+    pm = sub.add_parser("mesh2pc", help="mesh -> voxelized point cloud")
+    pm.add_argument("--input", required=True)
+    pm.add_argument("--output", required=True)
+    pm.add_argument("--n_points", type=int, default=400_000)
+    pm.add_argument("--resolution", type=int, default=255)
+    pm.add_argument("--no_rotate", action="store_true")
+    pm.add_argument("--normals", action="store_true")
+    pm.add_argument("--seed", type=int, default=0)
+    pm.set_defaults(fn=cmd_mesh2pc)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

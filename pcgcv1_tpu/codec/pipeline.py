@@ -67,6 +67,20 @@ def postprocess_points(cubes, points_numbers, cube_positions, scale=1.0,
     return points.astype(np.float64)
 
 
+def postprocess_from_masks(masks, cube_positions, scale=1.0, cube_size=64):
+    """Device-classified occupancy masks -> reconstructed global points.
+
+    Fast path counterpart of postprocess_points: the rho-weighted top-k ran
+    on device (codec ``decompress_*_masks``), so only devoxelize/assemble
+    remain on host.
+    """
+    per_cube = voxel.voxels_to_points(masks)
+    points = partition.assemble_points(per_cube, cube_positions, cube_size)
+    if scale != 1:
+        return points.astype(np.float64) * (1.0 / scale)
+    return points.astype(np.float64)
+
+
 def postprocess(output_file, cubes, points_numbers, cube_positions,
                 scale=1.0, cube_size=64, rho=1.0, fixed_thres=None):
     """Classify, extract, reassemble and write the reconstruction to PLY."""

@@ -4,29 +4,34 @@ Capability parity with the reference codec orchestration (`transform.py` in
 NJUVISION/PCGCv1: compress/decompress_{factorized,hyper}), redesigned for
 TPU:
 
-- Cubes are processed in fixed-size batched chunks under jit (one conv call
-  per chunk) instead of `tf.map_fn(..., parallel_iterations=1)` per cube —
-  the reference's dominant bottleneck (SURVEY.md §2 parallelism checklist).
-- Entropy coding: quantized-CDF evaluation and range coding run in the
-  deterministic C++ runtime; z tables come from the factorized density
-  weights, y symbols are coded per cube against per-voxel Laplace
-  (loc, scale) — no giant on-device CDF tensors.
-- Determinism contract: decode re-runs the *same jitted program* on the
-  same platform/chunk size as encode, so hyper-decoder outputs match
-  bit-for-bit (the reference's GPU decode bug, README.md:111-114, cannot
-  occur; a cross-check is in tests/test_codec.py).
+- Cubes are processed in fixed-size batched chunks under jit (one fused
+  device program per stage) instead of `tf.map_fn(..., parallel_iterations
+  =1)` per cube — the reference's dominant bottleneck (SURVEY.md §2).
+- Chunk dispatches are issued asynchronously so downloads of chunk i
+  overlap device compute of chunk i+1.
+- Host<->device traffic is integer-quantized: occupancy uploads as uint8,
+  latents download as int8, and the conditional prior downloads as **codes**
+  (loc_q int8 on a 1/8-voxel grid, scale_q uint8 on a 1/8-octave log grid)
+  rather than float32 loc/scale — 4x less traffic, and the coded prior is
+  integer-deterministic end to end. The C++ runtime reconstructs the prior
+  from the codes in deterministic double precision.
+- Determinism contract: the prior codes are produced by ONE jitted program
+  ("prior") invoked identically on the encode and decode side, so the range
+  coder sees bit-identical CDFs (the reference's GPU decode-mismatch bug,
+  its README.md:111-114, cannot occur). Decode must use the same
+  platform/dtype/chunk configuration as encode.
+- Decode can classify on device (`decompress_*_masks`): the rho-weighted
+  top-k threshold runs as a batched device sort and only a uint8 occupancy
+  mask is downloaded (32x less than float logits).
 
 Cross-platform note: factorized-mode streams decode on any platform (CDF
 tables are built in C++ from the f32 weights); hyper-mode streams require
-decode on the same platform/dtype/chunk configuration that encoded them,
-because loc/scale come from float convolutions.
+the same platform because loc/scale codes come from float convolutions.
 """
 
 from __future__ import annotations
 
-import functools
 import warnings
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -40,10 +45,28 @@ from pcgcv1_tpu.models import get_model
 from pcgcv1_tpu.utils import checkpoint as ckpt_lib
 
 SCALE_LOWER_BOUND = conditional.SCALE_LOWER_BOUND
+# quantized-prior grids — must match the C++ LocFromCode/ScaleFromCode
+LOC_CODES_PER_UNIT = 8.0
+SCALE_LOG2_OFFSET = 20.0
+SCALE_CODES_PER_OCTAVE = 8.0
+# device-side clip of rounded latents (int8 transport; the container's own
+# range checks still apply downstream)
+Y_CLIP = 120
 
 
 def _tree_concat(chunks):
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
+
+
+def quantize_prior(loc, scale):
+    """Device-side prior quantization to transport codes."""
+    loc_q = jnp.clip(jnp.round(loc * LOC_CODES_PER_UNIT),
+                     -127, 127).astype(jnp.int8)
+    scale = jnp.maximum(scale, SCALE_LOWER_BOUND)
+    scale_q = jnp.clip(jnp.round(
+        (jnp.log2(scale) + SCALE_LOG2_OFFSET) * SCALE_CODES_PER_OCTAVE),
+        0, 255).astype(jnp.uint8)
+    return loc_q, scale_q
 
 
 class PointCloudCodec:
@@ -52,14 +75,13 @@ class PointCloudCodec:
     Args:
       model: model family name ("voxception" | "simple" or reference alias).
       mode: "hyper" | "factorized".
-      ckpt_dir: checkpoint directory (pytree saved by utils.checkpoint).
-        When None or empty, random-initialized weights are used (useful for
-        throughput benchmarks; a warning is emitted).
+      ckpt_dir: checkpoint directory (trainer checkpoint or bare params).
+        None -> random-initialized weights (throughput benchmarks only).
       dtype: compute dtype of analysis/synthesis transforms.
       chunk: cubes per jitted device step. Encode and decode of the same
         stream must use the same value (determinism contract above).
-      mesh: optional jax.sharding.Mesh; when given, chunk batches are
-        sharded over its 'data' axis.
+      mesh: optional jax.sharding.Mesh; chunk batches are sharded over its
+        'data' axis.
     """
 
     def __init__(self, model="voxception", mode="hyper", ckpt_dir=None,
@@ -110,11 +132,20 @@ class PointCloudCodec:
         params["estimator"] = self.estimator.init(
             {"params": keys[4]}, est_in, training=False)["params"]
         if ckpt_dir:
-            restored = ckpt_lib.restore(ckpt_dir, like=params)
+            # accept both trainer checkpoints ({params, opt_state, step})
+            # and bare param trees — the reference restores subsets of one
+            # object graph the same way (transform.py:36-38,107-112)
+            restored = ckpt_lib.restore(ckpt_dir)
             if restored is None:
                 raise FileNotFoundError(
                     f"no checkpoint found in {ckpt_dir!r}")
-            params = restored
+            tree = restored.get("params", restored)
+            missing = [k for k in params if k not in tree]
+            if missing:
+                raise KeyError(
+                    f"checkpoint in {ckpt_dir!r} lacks modules {missing} "
+                    f"required for mode={self.mode!r}")
+            params = {k: tree[k] for k in params}
         else:
             warnings.warn(
                 "PointCloudCodec running with random-initialized weights "
@@ -128,23 +159,61 @@ class PointCloudCodec:
 
         mods = self.modules
 
-        if name == "analysis":
-            def fn(params, x):
-                return mods["analysis"].apply({"params": params["analysis"]},
-                                              x)
+        def apply(mod, params_key, x):
+            return mods[mod].apply({"params": params_key}, x)
+
+        if name == "analysis_q":
+            # x uint8 -> rounded latents int8 (factorized encode path)
+            def fn(params, x8):
+                y = apply("analysis", params["analysis"],
+                          x8.astype(jnp.float32))
+                return jnp.clip(jnp.round(y), -Y_CLIP, Y_CLIP).astype(
+                    jnp.int8)
+        elif name == "analysis_hyper":
+            # x uint8 -> (y_val int8, zhat int8)
+            def fn(params, x8):
+                y = apply("analysis", params["analysis"],
+                          x8.astype(jnp.float32))
+                z = apply("hyper_encoder", params["hyper_encoder"], y)
+                y_val = jnp.clip(jnp.round(y), -Y_CLIP, Y_CLIP).astype(
+                    jnp.int8)
+                zhat = jnp.clip(jnp.round(z), -Y_CLIP, Y_CLIP).astype(
+                    jnp.int8)
+                return y_val, zhat
+        elif name == "prior":
+            # zhat int8 -> (loc_q int8, scale_q uint8); the ONE program both
+            # encoder and decoder use (determinism contract)
+            def fn(params, zhat8):
+                loc, scale = apply("hyper_decoder", params["hyper_decoder"],
+                                   zhat8.astype(jnp.float32))
+                return quantize_prior(loc, scale)
         elif name == "synthesis":
-            def fn(params, y):
-                return mods["synthesis"].apply(
-                    {"params": params["synthesis"]}, y)
-        elif name == "hyper_encode":
-            def fn(params, y):
-                return mods["hyper_encoder"].apply(
-                    {"params": params["hyper_encoder"]}, y)
-        elif name == "hyper_decode":
-            def fn(params, zhat):
-                loc, scale = mods["hyper_decoder"].apply(
-                    {"params": params["hyper_decoder"]}, zhat)
-                return loc, jnp.maximum(scale, SCALE_LOWER_BOUND)
+            def fn(params, y8):
+                return apply("synthesis", params["synthesis"],
+                             y8.astype(jnp.float32))
+        elif name == "classify":
+            # y int8, nums int32, rho f32 -> BIT-PACKED occupancy mask
+            # uint8 [b, cs, cs, cs//8] (the rho-weighted adaptive threshold
+            # on device; packing cuts the download 8x)
+            def fn(params, y8, nums, rho):
+                logits = apply("synthesis", params["synthesis"],
+                               y8.astype(jnp.float32))
+                b = logits.shape[0]
+                flat = logits.reshape(b, -1)
+                k = jnp.clip(jnp.floor(rho * nums.astype(jnp.float32)
+                                       ).astype(jnp.int32),
+                             1, flat.shape[-1])
+                srt = jnp.sort(flat, axis=-1)
+                idx = jnp.clip(flat.shape[-1] - k, 0, flat.shape[-1] - 1)
+                thres = jnp.take_along_axis(srt, idx[:, None], axis=-1)
+                mask = (flat >= thres).astype(jnp.uint8)
+                spatial = logits.shape[1:-1]
+                # MSB-first bit packing (np.unpackbits order)
+                mask = mask.reshape((b,) + spatial[:-1]
+                                    + (spatial[-1] // 8, 8))
+                weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1],
+                                      jnp.uint8)
+                return (mask * weights).sum(axis=-1).astype(jnp.uint8)
         else:
             raise KeyError(name)
 
@@ -152,21 +221,49 @@ class PointCloudCodec:
         self._jit_cache[name] = jfn
         return jfn
 
-    def _chunked(self, name, x):
-        """Run a jitted module over the batch in fixed-size padded chunks."""
+    def _chunked(self, name, *arrays):
+        """Run a jitted stage over the batch in fixed-size padded chunks,
+        dispatching all chunks before fetching (overlaps transfer with
+        compute)."""
         fn = self._jitted(name)
-        b = x.shape[0]
+        b = arrays[0].shape[0]
         chunk = self.chunk
         pad = (-b) % chunk
-        if pad:
-            x = np.concatenate(
-                [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-        outs = []
+        padded = []
+        for a in arrays:
+            a = np.asarray(a)
+            if pad:
+                a = np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            padded.append(a)
+        futs = []
         for i in range(0, b + pad, chunk):
-            piece = x[i:i + chunk]
+            pieces = [p[i:i + chunk] for p in padded]
             if self._sharding is not None:
-                piece = jax.device_put(piece, self._sharding)
-            outs.append(jax.device_get(fn(self.params, piece)))
+                pieces = [jax.device_put(p, self._sharding) for p in pieces]
+            futs.append(fn(self.params, *pieces))
+        outs = [jax.device_get(f) for f in futs]
+        out = _tree_concat(outs)
+        return jax.tree.map(lambda a: a[:b], out)
+
+    def _chunked_scalar(self, name, arrays, scalars):
+        """Like _chunked but with trailing per-call scalar args."""
+        fn = self._jitted(name)
+        b = arrays[0].shape[0]
+        chunk = self.chunk
+        pad = (-b) % chunk
+        padded = []
+        for a in arrays:
+            a = np.asarray(a)
+            if pad:
+                a = np.concatenate(
+                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            padded.append(a)
+        futs = []
+        for i in range(0, b + pad, chunk):
+            pieces = [p[i:i + chunk] for p in padded]
+            futs.append(fn(self.params, *pieces, *scalars))
+        outs = [jax.device_get(f) for f in futs]
         out = _tree_concat(outs)
         return jax.tree.map(lambda a: a[:b], out)
 
@@ -194,23 +291,34 @@ class PointCloudCodec:
         table = self._z_tables(min_v, max_v)
         m = int(np.prod(shape)) // c
         values = native.cdf_decode(data, m, table) + min_v
-        return values.reshape(shape).astype(np.float32)
+        return values.reshape(shape)
 
     # ------------------------------------------------------------ factorized
     def compress_factorized(self, cubes):
-        """cubes float [B, cs, cs, cs, 1] -> FactorizedStreams (no sideinfo).
+        """cubes float/uint8 [B, cs, cs, cs, 1] -> (strings, min, max, shape).
 
         Reference: transform.py:24-56.
         """
-        ys = self._chunked("analysis", np.asarray(cubes, np.float32))
-        values = np.rint(np.asarray(ys)).astype(np.int32)
+        x8 = (np.asarray(cubes) > 0.5).astype(np.uint8)
+        values = self._chunked("analysis_q", x8).astype(np.int32)
         strings, min_v, max_v = self._encode_factorized_stream(values)
         return strings, min_v, max_v, values.shape
 
     def decompress_factorized(self, strings, min_v, max_v, shape):
         """Reference: transform.py:58-87. Returns logits [B, cs, cs, cs, 1]."""
         ys = self._decode_factorized_stream(strings, min_v, max_v, shape)
-        return self._chunked("synthesis", ys)
+        return self._chunked("synthesis", ys.astype(np.int8))
+
+    def decompress_factorized_masks(self, strings, min_v, max_v, shape,
+                                    points_numbers, rho=1.0):
+        """Decode directly to uint8 occupancy masks (classification on
+        device; downloads 1 bit per voxel instead of 4 bytes)."""
+        ys = self._decode_factorized_stream(strings, min_v, max_v, shape)
+        nums = np.asarray(points_numbers, np.int32)
+        packed = self._chunked_scalar(
+            "classify", [ys.astype(np.int8), nums],
+            [jnp.float32(rho)])
+        return np.unpackbits(packed, axis=-1)
 
     # ----------------------------------------------------------------- hyper
     def compress_hyper(self, cubes, return_recon=False):
@@ -220,45 +328,80 @@ class PointCloudCodec:
         (the caller owns side info), plus optionally the encoder-side
         reconstruction logits.
         """
-        x = np.asarray(cubes, np.float32)
-        ys = self._chunked("analysis", x)
-        zs = self._chunked("hyper_encode", ys)
-        zhat = np.rint(zs).astype(np.int32)
-        locs, scales = self._chunked("hyper_decode",
-                                     zhat.astype(np.float32))
+        x8 = (np.asarray(cubes) > 0.5).astype(np.uint8)
+        # per-chunk pipeline: prior(zhat) consumes the device-resident
+        # zhat of analysis_hyper directly (no host round trip); all chunk
+        # programs are dispatched before any fetch, so downloads overlap
+        # device compute. prior() sees the same int8 inputs the decoder
+        # uploads, and it is the same compiled program (contract above).
+        ana = self._jitted("analysis_hyper")
+        prior = self._jitted("prior")
+        b = x8.shape[0]
+        pad = (-b) % self.chunk
+        if pad:
+            x8p = np.concatenate(
+                [x8, np.zeros((pad,) + x8.shape[1:], x8.dtype)], axis=0)
+        else:
+            x8p = x8
+        futs = []
+        for i in range(0, b + pad, self.chunk):
+            piece = x8p[i:i + self.chunk]
+            if self._sharding is not None:
+                piece = jax.device_put(piece, self._sharding)
+            yv, zh = ana(self.params, piece)
+            lq, sq = prior(self.params, zh)
+            futs.append((yv, zh, lq, sq))
+        got = [jax.device_get(f) for f in futs]
+        y_val, zhat, loc_q, scale_q = jax.tree.map(
+            lambda a: a[:b], _tree_concat(got))
 
-        z_strings, z_min, z_max = self._encode_factorized_stream(zhat)
+        z_strings, z_min, z_max = self._encode_factorized_stream(
+            zhat.astype(np.int32))
 
-        y_vals = np.rint(ys).astype(np.int32)
-        b = y_vals.shape[0]
-        y_min_vs = y_vals.reshape(b, -1).min(axis=1)
-        y_max_vs = y_vals.reshape(b, -1).max(axis=1)
-        y_strings = native.laplace_encode_batch(
-            y_vals.reshape(b, -1), locs.reshape(b, -1),
-            scales.reshape(b, -1), y_min_vs, y_max_vs)
+        y32 = y_val.astype(np.int32)
+        b = y32.shape[0]
+        y_min_vs = y32.reshape(b, -1).min(axis=1)
+        y_max_vs = y32.reshape(b, -1).max(axis=1)
+        y_strings = native.laplace_q_encode_batch(
+            y32.reshape(b, -1), loc_q.reshape(b, -1),
+            scale_q.reshape(b, -1), y_min_vs, y_max_vs)
 
         hs = bitstream.HyperStreams(
             y_strings=y_strings,
             y_min_vs=y_min_vs, y_max_vs=y_max_vs,
-            y_shape=(1,) + ys.shape[1:],
+            y_shape=(1,) + y_val.shape[1:],
             z_strings=z_strings, z_min_v=z_min, z_max_v=z_max,
             z_shape=zhat.shape,
             points_numbers=None, cube_positions=None)
         if return_recon:
-            recon = self._chunked("synthesis", y_vals.astype(np.float32))
+            recon = self._chunked("synthesis", y_val)
             return hs, recon
         return hs
 
-    def decompress_hyper(self, hs: bitstream.HyperStreams):
-        """Reference: transform.py:200-259. Returns logits."""
+    def _decode_hyper_latents(self, hs: bitstream.HyperStreams):
         zhat = self._decode_factorized_stream(
             hs.z_strings, hs.z_min_v, hs.z_max_v, hs.z_shape)
-        locs, scales = self._chunked("hyper_decode", zhat)
+        loc_q, scale_q = self._chunked("prior", zhat.astype(np.int8))
         b = zhat.shape[0]
         elems = int(np.prod(hs.y_shape))
-        y_vals = native.laplace_decode_batch(
-            hs.y_strings, elems, locs.reshape(b, -1),
-            scales.reshape(b, -1), np.asarray(hs.y_min_vs, np.int32),
+        y_vals = native.laplace_q_decode_batch(
+            hs.y_strings, elems, loc_q.reshape(b, -1),
+            scale_q.reshape(b, -1), np.asarray(hs.y_min_vs, np.int32),
             np.asarray(hs.y_max_vs, np.int32))
-        ys = y_vals.reshape((b,) + tuple(hs.y_shape[1:])).astype(np.float32)
-        return self._chunked("synthesis", ys)
+        return y_vals.reshape((b,) + tuple(hs.y_shape[1:])).astype(np.int8)
+
+    def decompress_hyper(self, hs: bitstream.HyperStreams):
+        """Reference: transform.py:200-259. Returns logits."""
+        y8 = self._decode_hyper_latents(hs)
+        return self._chunked("synthesis", y8)
+
+    def decompress_hyper_masks(self, hs: bitstream.HyperStreams,
+                               points_numbers=None, rho=1.0):
+        """Decode directly to uint8 occupancy masks (device top-k,
+        bit-packed download)."""
+        y8 = self._decode_hyper_latents(hs)
+        nums = np.asarray(points_numbers if points_numbers is not None
+                          else hs.points_numbers, np.int32)
+        packed = self._chunked_scalar("classify", [y8, nums],
+                                      [jnp.float32(rho)])
+        return np.unpackbits(packed, axis=-1)

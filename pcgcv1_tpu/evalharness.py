@@ -1,0 +1,231 @@
+"""Rate-distortion evaluation harness.
+
+Capability parity with the reference `eval.py` (and the config machinery of
+`eval_ablation_studies.py:45-80`): an INI file defines rate points
+R1..Rn, each with {scale, ckpt_dir, rho_d1, rho_d2}; per rate the harness
+runs the full compress -> write -> read -> decompress round trip, measures
+the bpp breakdown, post-processes at rho in {1.0, rho_d1, rho_d2}, scores
+D1/D2 PSNR against the input (our pc_error equivalent, no subprocess), and
+writes a CSV plus an R-D figure.
+
+Config format (reference eval.py:172-184):
+
+    [DEFAULT]
+    cube_size = 64
+    min_num = 64
+    [R1]
+    scale = 1.0
+    ckpt_dir = checkpoints/hyper/r1
+    rho_d1 = 1.0
+    rho_d2 = 1.0
+"""
+
+from __future__ import annotations
+
+import configparser
+import os
+import time
+
+import numpy as np
+
+from pcgcv1_tpu.codec import bitstream, pipeline
+from pcgcv1_tpu.metrics import estimate_normals, pc_error
+from pcgcv1_tpu.ops import load_ply_with_normals
+
+
+def default_config(path, ckpt_dirs, cube_size=64, min_num=64):
+    """Write a default INI (eval_ablation_studies.py-style) for the given
+    per-rate checkpoint dirs."""
+    cfg = configparser.ConfigParser()
+    cfg["DEFAULT"] = {"cube_size": str(cube_size), "min_num": str(min_num)}
+    for i, ck in enumerate(ckpt_dirs, 1):
+        cfg[f"R{i}"] = {"scale": "1.0", "ckpt_dir": ck,
+                        "rho_d1": "1.0", "rho_d2": "1.0"}
+    with open(path, "w") as f:
+        cfg.write(f)
+    return path
+
+
+def eval_one_rate(input_file, codec, scale, cube_size, min_num, rho_d1,
+                  rho_d2, resolution, rootdir, tag, points_a=None,
+                  normals_a=None):
+    """Full round trip at one rate point; returns a dict row."""
+    os.makedirs(rootdir, exist_ok=True)
+    if points_a is None:
+        points_a, normals_a = load_ply_with_normals(input_file)
+    if normals_a is None:
+        normals_a = estimate_normals(points_a)
+
+    t0 = time.time()
+    pre = pipeline.preprocess(input_file, scale, cube_size, min_num)
+    t_pre = time.time() - t0
+    n_points = int(pre.points_numbers.astype(np.int64).sum())
+
+    name = f"{os.path.splitext(os.path.basename(input_file))[0]}_{tag}"
+    t0 = time.time()
+    if codec.mode == "factorized":
+        strings, mn, mx, shape = codec.compress_factorized(pre.cubes)
+        fs = bitstream.FactorizedStreams(
+            strings, mn, mx, shape, pre.points_numbers, pre.cube_positions)
+        sizes = bitstream.write_factorized(name, fs, rootdir=rootdir)
+    else:
+        hs = codec.compress_hyper(pre.cubes)
+        hs.points_numbers = pre.points_numbers
+        hs.cube_positions = pre.cube_positions
+        sizes = bitstream.write_hyper(name, hs, rootdir=rootdir)
+    t_enc = time.time() - t0
+
+    t0 = time.time()
+    if codec.mode == "factorized":
+        back = bitstream.read_factorized(name, rootdir)
+
+        def masks_at(rho):
+            return codec.decompress_factorized_masks(
+                back.strings, back.min_v, back.max_v, back.shape,
+                back.points_numbers, rho)
+    else:
+        back = bitstream.read_hyper(name, rootdir)
+
+        def masks_at(rho):
+            return codec.decompress_hyper_masks(
+                back, back.points_numbers, rho)
+    masks_at(1.0)  # include one full decode in the timing
+    t_dec = time.time() - t0
+
+    row = {"rate": tag, "scale": scale, "n_points": n_points,
+           "t_preprocess": t_pre, "t_encode": t_enc, "t_decode": t_dec}
+    total_bytes = sum(sizes.values())
+    for k, v in sizes.items():
+        row[f"bytes_{k}"] = v
+        row[f"bpp_{k}"] = 8 * v / n_points
+    row["bytes_total"] = total_bytes
+    row["bpp"] = 8 * total_bytes / n_points
+
+    peak = resolution - 1
+    for rho_tag, rho in (("rho1", 1.0), ("d1", rho_d1), ("d2", rho_d2)):
+        rec = pipeline.postprocess_from_masks(
+            masks_at(rho), back.cube_positions, scale, cube_size)
+        m = pc_error(points_a, rec, peak, normals_a=normals_a)
+        row[f"d1_psnr_{rho_tag}"] = m["mseF,PSNR (p2point)"]
+        row[f"d2_psnr_{rho_tag}"] = m["mseF,PSNR (p2plane)"]
+        row[f"n_out_{rho_tag}"] = len(rec)
+    # headline values at the per-metric optimal rho (reference reports
+    # D1 at rho_d1 and D2 at rho_d2, eval.py:193-207)
+    row["d1_psnr"] = row["d1_psnr_d1"]
+    row["d2_psnr"] = row["d2_psnr_d2"]
+    return row
+
+
+def search_optimal_rho(input_file, codec, section_cfg, resolution,
+                       rootdir, tag, metric="d1",
+                       rhos=(1.0, 1.05, 1.1, 1.15, 1.2, 1.25, 1.3, 1.4),
+                       also_down=(0.95, 0.9, 0.85, 0.8)):
+    """Sweep rho and return the best value for the given metric.
+
+    Capability parity with the reference's rho search
+    (`eval_ablation_studies.py:152-205`): walk candidate rhos upward (and
+    downward) until PSNR stops improving; the caller caches the winner into
+    the INI. D1 typically prefers rho>1, D2 rho<1.
+    """
+    pts, normals = load_ply_with_normals(input_file)
+    if normals is None:
+        normals = estimate_normals(pts)
+    s = section_cfg
+    scale = s.getfloat("scale", 1.0)
+    cube_size = s.getint("cube_size", 64)
+    min_num = s.getint("min_num", 64)
+    pre = pipeline.preprocess(input_file, scale, cube_size, min_num)
+    if codec.mode == "factorized":
+        strings, mn, mx, shape = codec.compress_factorized(pre.cubes)
+
+        def masks_at(rho):
+            return codec.decompress_factorized_masks(
+                strings, mn, mx, shape, pre.points_numbers, rho)
+    else:
+        hs = codec.compress_hyper(pre.cubes)
+
+        def masks_at(rho):
+            return codec.decompress_hyper_masks(hs, pre.points_numbers, rho)
+
+    key = ("mseF,PSNR (p2point)" if metric == "d1"
+           else "mseF,PSNR (p2plane)")
+
+    def psnr_at(rho):
+        rec = pipeline.postprocess_from_masks(
+            masks_at(rho), pre.cube_positions, scale, cube_size)
+        return pc_error(pts, rec, resolution - 1, normals_a=normals)[key]
+
+    best_rho, best = 1.0, psnr_at(1.0)
+    for seq in (rhos, also_down):
+        for rho in seq:
+            if rho == 1.0:
+                continue
+            p = psnr_at(rho)
+            if p > best:
+                best_rho, best = rho, p
+            elif p < best - 0.05:
+                break  # stop once the curve turns (reference behavior)
+    return best_rho, best
+
+
+def run_eval(args):
+    """CLI entry: sweep all rate sections of the INI over the input(s)."""
+    import jax.numpy as jnp
+    import pandas as pd
+    from pcgcv1_tpu.codec.transforms import PointCloudCodec
+
+    cfg = configparser.ConfigParser()
+    if not cfg.read(args.cfgdir):
+        raise FileNotFoundError(args.cfgdir)
+    inputs = ([os.path.join(args.input, f)
+               for f in sorted(os.listdir(args.input))
+               if f.endswith(".ply")]
+              if os.path.isdir(args.input) else [args.input])
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    os.makedirs(args.rootdir, exist_ok=True)
+    for input_file in inputs:
+        rows = []
+        pts, normals = load_ply_with_normals(input_file)
+        if normals is None:
+            normals = estimate_normals(pts)
+        for section in cfg.sections():
+            s = cfg[section]
+            codec = PointCloudCodec(
+                model=args.modelname, mode=args.mode,
+                ckpt_dir=s["ckpt_dir"], dtype=dtype, chunk=args.chunk,
+                cube_size=s.getint("cube_size", 64))
+            row = eval_one_rate(
+                input_file, codec, s.getfloat("scale", 1.0),
+                s.getint("cube_size", 64), s.getint("min_num", 64),
+                s.getfloat("rho_d1", 1.0), s.getfloat("rho_d2", 1.0),
+                args.res, os.path.join(args.rootdir, "streams"), section,
+                points_a=pts, normals_a=normals)
+            rows.append(row)
+            print({k: round(v, 4) if isinstance(v, float) else v
+                   for k, v in row.items()
+                   if k in ("rate", "bpp", "d1_psnr", "d2_psnr",
+                            "t_encode", "t_decode")})
+        df = pd.DataFrame(rows)
+        base = os.path.splitext(os.path.basename(input_file))[0]
+        csv_path = os.path.join(args.rootdir, base + ".csv")
+        df.to_csv(csv_path, index=False)
+        _plot(df, os.path.join(args.rootdir, base + ".png"), base)
+        print(f"wrote {csv_path}")
+
+
+def _plot(df, path, title):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(6, 4.5))
+    ax.plot(df["bpp"], df["d1_psnr"], "o-", label="D1 (p2point)")
+    ax.plot(df["bpp"], df["d2_psnr"], "s-", label="D2 (p2plane)")
+    ax.set_xlabel("bits per point")
+    ax.set_ylabel("PSNR (dB)")
+    ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)

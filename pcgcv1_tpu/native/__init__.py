@@ -69,6 +69,14 @@ _lib.pcgc_laplace_decode_batch.restype = ctypes.c_int
 _lib.pcgc_laplace_decode_batch.argtypes = [
     _i8p, _i64p, _i64p, _i32, _i64, _i32p, _i32p, _f32p, _f32p, _i32p]
 
+_i8sp = ctypes.POINTER(ctypes.c_int8)
+_lib.pcgc_laplace_q_encode_batch.restype = ctypes.c_int
+_lib.pcgc_laplace_q_encode_batch.argtypes = [
+    _i32p, _i8sp, _i8p, _i32, _i64, _i32p, _i32p, _i8p, _i64, _i64p]
+_lib.pcgc_laplace_q_decode_batch.restype = ctypes.c_int
+_lib.pcgc_laplace_q_decode_batch.argtypes = [
+    _i8p, _i64p, _i64p, _i32, _i64, _i32p, _i32p, _i8sp, _i8p, _i32p]
+
 _lib.pcgc_factorized_cdf.restype = None
 _lib.pcgc_factorized_cdf.argtypes = [
     _f32p, _f32p, _f32p, _i32, _i32, _i32p, _i32, _i32, _u32p]
@@ -171,6 +179,48 @@ def laplace_decode_batch(strings, elems, loc, scale, min_vs, max_vs):
         _ptr(lens, ctypes.c_int64), B, elems, _ptr(mn, ctypes.c_int32),
         _ptr(mx, ctypes.c_int32), _ptr(lo, ctypes.c_float),
         _ptr(sc, ctypes.c_float), _ptr(v, ctypes.c_int32))
+    return v
+
+
+def laplace_q_encode_batch(values, loc_q, scale_q, min_vs, max_vs):
+    """Quantized-prior batch encode: loc = loc_q/8 (int8), scale =
+    2^(scale_q/8 - 20) (uint8). Returns list of B byte strings."""
+    v = _as(values, np.int32)
+    B, elems = v.shape[0], int(np.prod(v.shape[1:]))
+    v = v.reshape(B, elems)
+    lo = _as(loc_q, np.int8).reshape(B, elems)
+    sc = _as(scale_q, np.uint8).reshape(B, elems)
+    mn = _as(min_vs, np.int32)
+    mx = _as(max_vs, np.int32)
+    cap = 4 * elems + 1024
+    out = np.empty((B, cap), np.uint8)
+    lens = np.empty(B, np.int64)
+    err = _lib.pcgc_laplace_q_encode_batch(
+        _ptr(v, ctypes.c_int32), _ptr(lo, ctypes.c_int8),
+        _ptr(sc, ctypes.c_uint8), B, elems, _ptr(mn, ctypes.c_int32),
+        _ptr(mx, ctypes.c_int32), _ptr(out, ctypes.c_uint8), cap,
+        _ptr(lens, ctypes.c_int64))
+    if err != 0:
+        raise ValueError("laplace_q_encode_batch failed")
+    return [out[b, :lens[b]].tobytes() for b in range(B)]
+
+
+def laplace_q_decode_batch(strings, elems, loc_q, scale_q, min_vs, max_vs):
+    """Quantized-prior batch decode. Returns int32 [B, elems]."""
+    B = len(strings)
+    bufs = np.frombuffer(b"".join(strings) or b"\0", np.uint8)
+    lens = np.array([len(s) for s in strings], np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+    lo = _as(loc_q, np.int8).reshape(B, elems)
+    sc = _as(scale_q, np.uint8).reshape(B, elems)
+    mn = _as(min_vs, np.int32)
+    mx = _as(max_vs, np.int32)
+    v = np.empty((B, elems), np.int32)
+    _lib.pcgc_laplace_q_decode_batch(
+        _ptr(bufs, ctypes.c_uint8), _ptr(offsets, ctypes.c_int64),
+        _ptr(lens, ctypes.c_int64), B, elems, _ptr(mn, ctypes.c_int32),
+        _ptr(mx, ctypes.c_int32), _ptr(lo, ctypes.c_int8),
+        _ptr(sc, ctypes.c_uint8), _ptr(v, ctypes.c_int32))
     return v
 
 
