@@ -26,11 +26,18 @@ class ModelFamily:
     hyper_channels: Optional[int]
     down_factor: int  # spatial downsampling of the analysis transform
 
-    def make(self, dtype=jnp.float32, hyper=False):
-        """Instantiate flax modules; returns dict of modules."""
+    def make(self, dtype=jnp.float32, hyper=False, remat=False):
+        """Instantiate flax modules; returns dict of modules.
+
+        remat=True rematerializes block activations in the backward pass
+        (training-memory knob; families without remat support ignore it).
+        """
+        kw = {}
+        if remat and "remat" in self.analysis.__dataclass_fields__:
+            kw["remat"] = True
         mods = {
-            "analysis": self.analysis(dtype=dtype),
-            "synthesis": self.synthesis(dtype=dtype),
+            "analysis": self.analysis(dtype=dtype, **kw),
+            "synthesis": self.synthesis(dtype=dtype, **kw),
         }
         if hyper:
             if self.hyper_encoder is None:

@@ -55,54 +55,64 @@ class AnalysisTransform(nn.Module):
     Reference `model_voxception.py:71-144`: conv_in 16 -> 3xVRN(16) ->
     strided down 32 (no bias) -> 3xVRN(32) -> down 64 (no bias) ->
     3xVRN(64) -> conv_out 16 linear.
+
+    ``remat=True`` rematerializes each VRN block in the backward pass
+    (jax.checkpoint) — required to train batch 8 x 64^3 within one chip's
+    HBM; inference leaves it off.
     """
 
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         d = self.dtype
+        block = nn.remat(VRNBlock) if self.remat else VRNBlock
         x = x.astype(d)
         x = nn.relu(nn.Conv(16, (3, 3, 3), padding="SAME", dtype=d,
                             name="conv_in")(x))
         for i in range(3):
-            x = VRNBlock(16, dtype=d, name=f"vrn1_{i+1}")(x)
+            x = block(16, dtype=d, name=f"vrn1_{i+1}")(x)
         x = nn.relu(nn.Conv(32, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
                             use_bias=False, dtype=d, name="down_1")(x))
         for i in range(3):
-            x = VRNBlock(32, dtype=d, name=f"vrn2_{i+1}")(x)
+            x = block(32, dtype=d, name=f"vrn2_{i+1}")(x)
         x = nn.relu(nn.Conv(64, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
                             use_bias=False, dtype=d, name="down_2")(x))
         for i in range(3):
-            x = VRNBlock(64, dtype=d, name=f"vrn3_{i+1}")(x)
+            x = block(64, dtype=d, name=f"vrn3_{i+1}")(x)
         x = nn.Conv(16, (3, 3, 3), padding="SAME", dtype=d,
                     name="conv_out")(x)
         return x.astype(jnp.float32)
 
 
 class SynthesisTransform(nn.Module):
-    """Latent -> occupancy logits (reference `model_voxception.py:147-214`)."""
+    """Latent -> occupancy logits (reference `model_voxception.py:147-214`).
+
+    ``remat=True``: see AnalysisTransform."""
 
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x):
         d = self.dtype
+        block = nn.remat(VRNBlock) if self.remat else VRNBlock
         x = x.astype(d)
         x = nn.relu(nn.Conv(64, (3, 3, 3), padding="SAME", dtype=d,
                             name="deconv_in")(x))
         for i in range(3):
-            x = VRNBlock(64, dtype=d, name=f"dvrn1_{i+1}")(x)
+            x = block(64, dtype=d, name=f"dvrn1_{i+1}")(x)
         x = nn.relu(nn.ConvTranspose(32, (3, 3, 3), strides=(2, 2, 2),
                                      padding="SAME", dtype=d,
                                      name="up_1")(x))
         for i in range(3):
-            x = VRNBlock(32, dtype=d, name=f"dvrn2_{i+1}")(x)
+            x = block(32, dtype=d, name=f"dvrn2_{i+1}")(x)
         x = nn.relu(nn.ConvTranspose(16, (3, 3, 3), strides=(2, 2, 2),
                                      padding="SAME", dtype=d,
                                      name="up_2")(x))
         for i in range(3):
-            x = VRNBlock(16, dtype=d, name=f"dvrn3_{i+1}")(x)
+            x = block(16, dtype=d, name=f"dvrn3_{i+1}")(x)
         x = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=d,
                     name="deconv_out")(x)
         return x.astype(jnp.float32)

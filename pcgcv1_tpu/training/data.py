@@ -127,17 +127,21 @@ class SyntheticCubeDataset:
     def _one(self):
         cs = self.cube_size
         rng = self.rng
-        # random plane-ish quadratic surface z = f(x, y) + noise
         xx, yy = np.meshgrid(np.arange(cs), np.arange(cs), indexing="ij")
-        c = rng.normal(0, 1, 6)
-        zz = (c[0] * cs / 2 + c[1] * xx / 4 + c[2] * yy / 4
-              + c[3] * xx * yy / (4 * cs) + c[4] * xx ** 2 / (4 * cs)
-              + c[5] * yy ** 2 / (4 * cs)) + cs / 2
-        zz = np.clip(np.round(zz + rng.normal(0, 0.6, zz.shape)),
-                     0, cs - 1).astype(np.int64)
-        keep = rng.random(zz.shape) < 0.85
-        pts = np.stack([xx[keep], yy[keep], zz[keep]], 1)
-        return np.unique(pts, axis=0)
+        pts = []
+        for _ in range(rng.integers(1, 3)):  # 1-2 surface sheets
+            c = rng.normal(0, 1, 6)
+            zz = (c[0] * cs / 2 + c[1] * xx / 4 + c[2] * yy / 4
+                  + c[3] * xx * yy / (4 * cs) + c[4] * xx ** 2 / (4 * cs)
+                  + c[5] * yy ** 2 / (4 * cs)) + cs / 2
+            zz = np.clip(np.round(zz + rng.normal(0, 0.6, zz.shape)),
+                         0, cs - 1).astype(np.int64)
+            keep = rng.random(zz.shape) < 0.85
+            sheet = np.stack([xx[keep], yy[keep], zz[keep]], 1)
+            # random axis permutation so surfaces face every direction
+            sheet = sheet[:, rng.permutation(3)]
+            pts.append(sheet)
+        return np.unique(np.concatenate(pts), axis=0)
 
     def batches(self, batch_size=8):
         while True:

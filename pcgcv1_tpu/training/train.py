@@ -68,7 +68,8 @@ class Trainer:
         self.cfg = cfg
         self.hyper = cfg.mode == "hyper"
         self.family = get_model(cfg.model)
-        self.mods = self.family.make(dtype=cfg.dtype, hyper=self.hyper)
+        self.mods = self.family.make(dtype=cfg.dtype, hyper=self.hyper,
+                                     remat=True)
         bottleneck_channels = (self.family.hyper_channels if self.hyper
                                else self.family.latent_channels)
         self.estimator = FactorizedEntropy(channels=bottleneck_channels)
