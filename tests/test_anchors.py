@@ -1,0 +1,54 @@
+"""Octree anchor codec: lossless round trip and R-D curve sanity."""
+
+import numpy as np
+import pytest
+
+from pcgcv1_tpu.codec import anchors
+
+
+@pytest.fixture(scope="module")
+def surface_cloud():
+    rng = np.random.default_rng(8)
+    theta = rng.uniform(0, np.pi, 60000)
+    phi = rng.uniform(0, 2 * np.pi, 60000)
+    r = 200 + rng.normal(0, 1.5, 60000)
+    pts = np.stack([r * np.sin(theta) * np.cos(phi),
+                    r * np.sin(theta) * np.sin(phi),
+                    r * np.cos(theta)], 1) + 256
+    return np.unique(np.round(pts), axis=0).astype(np.int32)
+
+
+def test_lossless_roundtrip(surface_cloud):
+    blob = anchors.encode(surface_cloud, 1.0)
+    rec = anchors.decode(blob, 1.0)
+    assert np.array_equal(np.sort(rec.astype(np.int64), axis=0),
+                          np.sort(surface_cloud, axis=0))
+
+
+def test_scaled_rate_drops(surface_cloud):
+    b1 = anchors.encode(surface_cloud, 1.0)
+    b2 = anchors.encode(surface_cloud, 0.5)
+    assert len(b2) < 0.7 * len(b1)
+
+
+def test_rd_curve_monotone(surface_cloud):
+    from pcgcv1_tpu.metrics import estimate_normals
+    normals = estimate_normals(surface_cloud)
+    rows = anchors.rd_curve(surface_cloud, normals, 512,
+                            scales=(1.0, 0.5, 0.25))
+    bpps = [r["bpp"] for r in rows]
+    psnrs = [r["d1_psnr"] for r in rows]
+    assert bpps[0] > bpps[1] > bpps[2]
+    assert psnrs[0] > psnrs[1] > psnrs[2]
+    assert psnrs[0] == float("inf")  # lossless at scale 1
+
+
+def test_bdrate_against_anchor(surface_cloud):
+    """BD-rate of a strictly better curve vs the anchor is negative."""
+    from pcgcv1_tpu.metrics import bdrate, estimate_normals
+    normals = estimate_normals(surface_cloud)
+    rows = anchors.rd_curve(surface_cloud, normals, 512,
+                            scales=(0.75, 0.5, 0.375, 0.25))
+    anchor = [(r["bpp"], r["d1_psnr"]) for r in rows]
+    better = [(bpp * 0.5, psnr) for bpp, psnr in anchor]
+    assert abs(bdrate(anchor, better) - (-50.0)) < 1.0
