@@ -16,7 +16,6 @@ Run as ``python -m pcgcv1_tpu.cli <command> ...``.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
@@ -146,14 +145,8 @@ def cmd_train(args):
         mesh = make_mesh(args.data_parallel or None, args.model_parallel)
     trainer = Trainer(cfg, mesh=mesh)
     ds = data_lib.make_dataset(args.data, cube_size=args.cube_size)
-    log_path = os.path.join(ckpt_dir, "train_log.jsonl")
-    os.makedirs(ckpt_dir, exist_ok=True)
-
-    def log_fn(m):
-        print(" ".join(f"{k}={v:.5g}" if isinstance(v, float) else
-                       f"{k}={v}" for k, v in m.items()))
-        with open(log_path, "a") as f:
-            f.write(json.dumps(m) + "\n")
+    from pcgcv1_tpu.utils.logging import MetricLogger
+    log_fn = MetricLogger(ckpt_dir, name="train")
 
     trainer.fit(ds.batches(cfg.batch_size), log_fn=log_fn,
                 eval_batches_fn=lambda: ds.eval_batches(

@@ -48,7 +48,7 @@ def default_config(path, ckpt_dirs, cube_size=64, min_num=64):
 
 def eval_one_rate(input_file, codec, scale, cube_size, min_num, rho_d1,
                   rho_d2, resolution, rootdir, tag, points_a=None,
-                  normals_a=None):
+                  normals_a=None, fixed_thres=None):
     """Full round trip at one rate point; returns a dict row."""
     os.makedirs(rootdir, exist_ok=True)
     if points_a is None:
@@ -100,6 +100,20 @@ def eval_one_rate(input_file, codec, scale, cube_size, min_num, rho_d1,
         row[f"bpp_{k}"] = 8 * v / n_points
     row["bytes_total"] = total_bytes
     row["bpp"] = 8 * total_bytes / n_points
+
+    if fixed_thres is not None:
+        # fixed-threshold ablation (reference eval_ablation_studies.py
+        # fixed_thres=0 mode): decode logits, classify on host
+        if codec.mode == "factorized":
+            logits = codec.decompress_factorized(
+                back.strings, back.min_v, back.max_v, back.shape)
+        else:
+            logits = codec.decompress_hyper(back)
+
+        def masks_at(_rho):  # noqa: F811 — deliberate override
+            from pcgcv1_tpu.ops import select_voxels
+            return select_voxels(logits, back.points_numbers,
+                                 fixed_thres=fixed_thres)
 
     peak = resolution - 1
     for rho_tag, rho in (("rho1", 1.0), ("d1", rho_d1), ("d2", rho_d2)):
@@ -200,7 +214,8 @@ def run_eval(args):
                 s.getint("cube_size", 64), s.getint("min_num", 64),
                 s.getfloat("rho_d1", 1.0), s.getfloat("rho_d2", 1.0),
                 args.res, os.path.join(args.rootdir, "streams"), section,
-                points_a=pts, normals_a=normals)
+                points_a=pts, normals_a=normals,
+                fixed_thres=s.getfloat("fixed_thres", None))
             rows.append(row)
             print({k: round(v, 4) if isinstance(v, float) else v
                    for k, v in row.items()

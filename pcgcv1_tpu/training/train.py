@@ -77,6 +77,9 @@ class Trainer:
         self.optimizer = optax.adam(cfg.lr)
         self.state = self._init_state()
         self._restore()
+        # host-side mirror of state["step"]: reading the device scalar
+        # every step would force a blocking sync (device round trip)
+        self._host_step = int(self.state["step"])
         self._step_fn = self._build_step()
 
     # ------------------------------------------------------------- state --
@@ -222,12 +225,13 @@ class Trainer:
 
     def train_step(self, batch):
         rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 1),
-                                 int(self.state["step"]))
+                                 self._host_step)
         batch = jnp.asarray(batch, jnp.float32)
         if self.mesh is not None:
             batch = jax.device_put(batch,
                                    mesh_lib.batch_sharding(self.mesh))
         self.state, metrics = self._step_fn(self.state, batch, rng)
+        self._host_step += 1
         return metrics
 
     # -------------------------------------------------------------- eval --
@@ -254,7 +258,7 @@ class Trainer:
         accum = []
         t0 = time.time()
         for batch in batches:
-            step = int(self.state["step"])
+            step = self._host_step
             if step >= n:
                 break
             metrics = self.train_step(batch)
