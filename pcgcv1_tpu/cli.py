@@ -159,6 +159,16 @@ def cmd_eval(args):
     evalharness.run_eval(args)
 
 
+def cmd_report(args):
+    from pcgcv1_tpu import report
+    out = args.out or os.path.join(args.eval_dir, "bdrate_bd.csv")
+    df = report.run_report(args.eval_dir, out,
+                           inputs_dir=args.inputs_dir or None,
+                           resolution=args.res)
+    print(df.round(2))
+    print(f"wrote {out}")
+
+
 def cmd_gen_dataset(args):
     from pcgcv1_tpu.training import datagen
     n = datagen.generate_dataset(
@@ -246,6 +256,16 @@ def main(argv=None):
     pg.add_argument("--h5", action="store_true",
                     help="write reference-style per-cube h5 files")
     pg.set_defaults(fn=cmd_gen_dataset)
+
+    pr = sub.add_parser("report", help="BD-rate tables vs anchors from "
+                                       "eval CSVs (results.ipynb role)")
+    pr.add_argument("--eval_dir", required=True)
+    pr.add_argument("--out", default="")
+    pr.add_argument("--inputs_dir", default="",
+                    help="directory of the original PLYs (enables anchor "
+                         "curves)")
+    pr.add_argument("--res", type=int, default=1024)
+    pr.set_defaults(fn=cmd_report)
 
     pm = sub.add_parser("mesh2pc", help="mesh -> voxelized point cloud")
     pm.add_argument("--input", required=True)

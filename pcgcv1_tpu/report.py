@@ -1,0 +1,110 @@
+"""R-D comparison reports: BD-rate tables against anchors.
+
+Capability parity with the reference's `results.ipynb`: collect per-sequence
+R-D CSVs (from `evalharness`), optionally compute anchor curves (our octree
+codec in the G-PCC-octree role, `codec/anchors.py`), and produce BD-rate /
+BD-PSNR tables plus comparison figures.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from pcgcv1_tpu.metrics import bdrate, bdsnr
+
+
+def load_rd_csv(path, d_metric="d1"):
+    """CSV from evalharness -> [(bpp, psnr), ...] sorted by rate."""
+    import pandas as pd
+    df = pd.read_csv(path).sort_values("bpp")
+    return list(zip(df["bpp"], df[f"{d_metric}_psnr"]))
+
+
+def bd_table(codec_curves, anchor_curves, d_metric="d1"):
+    """BD-rate/BD-PSNR of the codec vs each anchor, per sequence + average.
+
+    Args:
+      codec_curves: {sequence: [(bpp, psnr), ...]}
+      anchor_curves: {anchor_name: {sequence: [(bpp, psnr), ...]}}
+
+    Returns a pandas DataFrame (rows = sequences + 'average', columns =
+    'bdrate vs <anchor>' / 'bdsnr vs <anchor>').
+    """
+    import pandas as pd
+    rows = {}
+    for seq, curve in codec_curves.items():
+        row = {}
+        for aname, acurves in anchor_curves.items():
+            if seq not in acurves:
+                continue
+            finite = [(r, p) for r, p in acurves[seq] if np.isfinite(p)]
+            cfin = [(r, p) for r, p in curve if np.isfinite(p)]
+            if len(finite) < 4 or len(cfin) < 4:
+                continue
+            row[f"bdrate vs {aname}"] = bdrate(finite, cfin)
+            row[f"bdsnr vs {aname}"] = bdsnr(finite, cfin)
+        rows[seq] = row
+    df = pd.DataFrame(rows).T
+    df.loc["average"] = df.mean()
+    return df
+
+
+def compare_plot(curves, path, title="", d_label="D1 PSNR (dB)"):
+    """Overlayed R-D curves: {name: [(bpp, psnr), ...]}."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(6.5, 4.5))
+    for name, curve in curves.items():
+        curve = [(r, p) for r, p in sorted(curve) if np.isfinite(p)]
+        if not curve:
+            continue
+        ax.plot([c[0] for c in curve], [c[1] for c in curve], "o-",
+                label=name)
+    ax.set_xlabel("bits per point")
+    ax.set_ylabel(d_label)
+    ax.set_title(title)
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def run_report(eval_dir, out_path, anchor_scales=(0.75, 0.5, 0.375, 0.25),
+               inputs_dir=None, resolution=1024):
+    """CLI driver: read all CSVs in eval_dir, compute octree-anchor curves
+    for the matching input PLYs when available, emit BD-rate table (CSV)
+    and comparison plots."""
+    import glob
+    import pandas as pd
+    from pcgcv1_tpu.codec import anchors
+    from pcgcv1_tpu.metrics import estimate_normals
+    from pcgcv1_tpu.ops import load_ply_with_normals
+
+    codec_curves = {}
+    anchor_curves = {"octree": {}}
+    for csv in sorted(glob.glob(os.path.join(eval_dir, "*.csv"))):
+        seq = os.path.splitext(os.path.basename(csv))[0]
+        if seq.endswith("_bd"):
+            continue
+        codec_curves[seq] = load_rd_csv(csv)
+        ply = (os.path.join(inputs_dir, seq + ".ply")
+               if inputs_dir else None)
+        if ply and os.path.exists(ply):
+            pts, normals = load_ply_with_normals(ply)
+            if normals is None:
+                normals = estimate_normals(pts)
+            rows = anchors.rd_curve(pts.astype(np.int64), normals,
+                                    resolution, scales=anchor_scales)
+            anchor_curves["octree"][seq] = [
+                (r["bpp"], r["d1_psnr"]) for r in rows]
+            compare_plot(
+                {"learned": codec_curves[seq],
+                 "octree anchor": anchor_curves["octree"][seq]},
+                os.path.join(eval_dir, seq + "_vs_anchor.png"), seq)
+    df = bd_table(codec_curves, anchor_curves)
+    df.to_csv(out_path)
+    return df
