@@ -9,8 +9,6 @@ determinism check.
 """
 
 import argparse
-import os
-import time
 import warnings
 
 import numpy as np

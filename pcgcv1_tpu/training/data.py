@@ -15,7 +15,6 @@ Formats:
 from __future__ import annotations
 
 import glob
-import os
 import random
 
 import numpy as np

@@ -24,9 +24,8 @@ every step, train_hyper.py:217-225).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

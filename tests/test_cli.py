@@ -2,10 +2,7 @@
 dataset tools — the reference's test.py / eval.py usage patterns."""
 
 import configparser
-import json
 import os
-import subprocess
-import sys
 
 import numpy as np
 import pytest

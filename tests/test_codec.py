@@ -12,7 +12,6 @@ import pytest
 
 from pcgcv1_tpu.codec import bitstream, pipeline
 from pcgcv1_tpu.codec.transforms import PointCloudCodec
-from pcgcv1_tpu.ops import write_ply
 
 CS = 16
 

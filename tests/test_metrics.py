@@ -2,7 +2,6 @@
 when available) and BD-rate math."""
 
 import os
-import re
 import subprocess
 
 import numpy as np

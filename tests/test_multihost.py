@@ -5,7 +5,6 @@ parallel over cubes)."""
 import warnings
 
 import numpy as np
-import pytest
 
 from pcgcv1_tpu.codec import pipeline
 from pcgcv1_tpu.codec.transforms import PointCloudCodec

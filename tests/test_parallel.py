@@ -1,11 +1,10 @@
 """Mesh/sharding helpers and the codec on a sharded mesh."""
 
 import numpy as np
-import pytest
 
 import jax
 
-from pcgcv1_tpu.parallel import batch_sharding, make_mesh, shard_params
+from pcgcv1_tpu.parallel import make_mesh, shard_params
 
 
 def test_make_mesh_shapes():

@@ -4,7 +4,6 @@ float coder."""
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from pcgcv1_tpu import native
 from pcgcv1_tpu.codec.transforms import quantize_prior

@@ -1,8 +1,6 @@
 """BD-rate report generation from eval CSVs."""
 
-import numpy as np
 import pandas as pd
-import pytest
 
 from pcgcv1_tpu import report
 

@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 from pcgcv1_tpu import native
-from pcgcv1_tpu.codec import bitstream, pipeline
+from pcgcv1_tpu.codec import pipeline
 from pcgcv1_tpu.codec.transforms import PointCloudCodec
 
 

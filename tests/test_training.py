@@ -1,7 +1,5 @@
 """Training: losses, data pipeline, train step (single-device and sharded)."""
 
-import glob
-import os
 
 import jax
 import jax.numpy as jnp
