@@ -205,17 +205,24 @@ def run_eval(args):
             normals = estimate_normals(pts)
         for section in cfg.sections():
             s = cfg[section]
-            codec = PointCloudCodec(
-                model=args.modelname, mode=args.mode,
-                ckpt_dir=s["ckpt_dir"], dtype=dtype, chunk=args.chunk,
-                cube_size=s.getint("cube_size", 64))
-            row = eval_one_rate(
-                input_file, codec, s.getfloat("scale", 1.0),
-                s.getint("cube_size", 64), s.getint("min_num", 64),
-                s.getfloat("rho_d1", 1.0), s.getfloat("rho_d2", 1.0),
-                args.res, os.path.join(args.rootdir, "streams"), section,
-                points_a=pts, normals_a=normals,
-                fixed_thres=s.getfloat("fixed_thres", None))
+            # fault-tolerant sweep: one bad rate point (missing ckpt,
+            # malformed config) must not kill a multi-hour run
+            try:
+                codec = PointCloudCodec(
+                    model=args.modelname, mode=args.mode,
+                    ckpt_dir=s["ckpt_dir"], dtype=dtype, chunk=args.chunk,
+                    cube_size=s.getint("cube_size", 64))
+                row = eval_one_rate(
+                    input_file, codec, s.getfloat("scale", 1.0),
+                    s.getint("cube_size", 64), s.getint("min_num", 64),
+                    s.getfloat("rho_d1", 1.0), s.getfloat("rho_d2", 1.0),
+                    args.res, os.path.join(args.rootdir, "streams"),
+                    section, points_a=pts, normals_a=normals,
+                    fixed_thres=s.getfloat("fixed_thres", None))
+            except Exception as e:  # noqa: BLE001
+                print(f"[{input_file} {section}] FAILED: {e!r}")
+                rows.append({"rate": section, "error": repr(e)})
+                continue
             rows.append(row)
             print({k: round(v, 4) if isinstance(v, float) else v
                    for k, v in row.items()
@@ -225,7 +232,10 @@ def run_eval(args):
         base = os.path.splitext(os.path.basename(input_file))[0]
         csv_path = os.path.join(args.rootdir, base + ".csv")
         df.to_csv(csv_path, index=False)
-        _plot(df, os.path.join(args.rootdir, base + ".png"), base)
+        if "bpp" in df:
+            ok = df.dropna(subset=["bpp"])
+            if len(ok):
+                _plot(ok, os.path.join(args.rootdir, base + ".png"), base)
         print(f"wrote {csv_path}")
 
 

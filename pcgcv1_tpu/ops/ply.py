@@ -146,6 +146,18 @@ def load_ply_with_normals(filename):
     return pts, normals
 
 
+def ply_vertex_count(filename):
+    """Vertex count from a PLY header without reading the body
+    (the reference's `get_points_number`, myutils/pc_error_wrapper.py:6-14).
+    """
+    with open(filename, "rb") as f:
+        if f.read(3) != b"ply":
+            raise ValueError("not a PLY file")
+        f.seek(0)
+        _, n, _ = _parse_header(f)
+        return n
+
+
 def write_ply(filename, points, normals=None, ascii_fmt=True):
     """Write points (and optional normals) to a PLY file.
 

@@ -148,3 +148,10 @@ def test_pipeline_lossless_roundtrip(tmp_path, cloud, scale):
         # scaled path: reconstruction matches the scaled+descaled original
         ref = pipeline.scale_points(cloud, scale).astype(np.float64) / scale
         assert np.array_equal(np.sort(out, axis=0), np.sort(ref, axis=0))
+
+
+def test_ply_vertex_count(tmp_path, cloud):
+    from pcgcv1_tpu.ops.ply import ply_vertex_count
+    f = str(tmp_path / "c.ply")
+    ply.write_ply(f, cloud)
+    assert ply_vertex_count(f) == len(cloud)
