@@ -437,19 +437,23 @@ inline uint64_t Morton3(uint32_t x, uint32_t y, uint32_t z, int depth) {
 }
 
 struct OctreeModels {
-  // [level][child][prev_occupied_bucket]
+  // Context = (level, exact already-coded sibling bit prefix, own octant
+  // within the parent). The sibling prefix for child c is a c-bit value;
+  // cumulative bases pack the 255 (child, prefix) states per level.
   std::vector<pcgc::BitModel> m;
   int depth;
-  explicit OctreeModels(int d) : m(static_cast<size_t>(d) * 8 * 4), depth(d) {}
-  pcgc::BitModel& At(int level, int child, int prev) {
-    if (prev > 3) prev = 3;
-    return m[(static_cast<size_t>(level) * 8 + child) * 4 + prev];
+  explicit OctreeModels(int d)
+      : m(static_cast<size_t>(d) * 255 * 9), depth(d) {}
+  pcgc::BitModel& At(int level, int child, int prefix, int my_octant) {
+    static const int base[8] = {0, 1, 3, 7, 15, 31, 63, 127};
+    return m[(static_cast<size_t>(level) * 255 + base[child] + prefix) * 9
+             + my_octant];
   }
 };
 
 void OctreeEncodeNode(const uint64_t* codes, int64_t lo, int64_t hi,
-                      int level, int depth, OctreeModels* models,
-                      pcgc::RangeEncoder* enc) {
+                      int level, int depth, int my_octant,
+                      OctreeModels* models, pcgc::RangeEncoder* enc) {
   if (level == depth) return;
   const int shift = 3 * (depth - 1 - level);
   int64_t child_lo[9];
@@ -466,40 +470,40 @@ void OctreeEncodeNode(const uint64_t* codes, int64_t lo, int64_t hi,
     }
     child_lo[c + 1] = a;
   }
-  int prev = 0;
+  int prefix = 0;
   for (int c = 0; c < 8; ++c) {
     int bit = child_lo[c + 1] > child_lo[c];
-    pcgc::BitModel& bm = models->At(level, c, prev);
+    pcgc::BitModel& bm = models->At(level, c, prefix, my_octant);
     enc->EncodeBit(bit, bm.p0);
     bm.Update(bit);
-    prev += bit;
+    prefix = (prefix << 1) | bit;
   }
   for (int c = 0; c < 8; ++c) {
     if (child_lo[c + 1] > child_lo[c])
       OctreeEncodeNode(codes, child_lo[c], child_lo[c + 1], level + 1, depth,
-                       models, enc);
+                       c, models, enc);
   }
 }
 
-void OctreeDecodeNode(uint64_t prefix, int level, int depth,
-                      OctreeModels* models, pcgc::RangeDecoder* dec,
-                      std::vector<uint64_t>* out) {
+void OctreeDecodeNode(uint64_t code_prefix, int level, int depth,
+                      int my_octant, OctreeModels* models,
+                      pcgc::RangeDecoder* dec, std::vector<uint64_t>* out) {
   if (level == depth) {
-    out->push_back(prefix);
+    out->push_back(code_prefix);
     return;
   }
   int bits[8];
-  int prev = 0;
+  int prefix = 0;
   for (int c = 0; c < 8; ++c) {
-    pcgc::BitModel& bm = models->At(level, c, prev);
+    pcgc::BitModel& bm = models->At(level, c, prefix, my_octant);
     bits[c] = dec->DecodeBit(bm.p0);
     bm.Update(bits[c]);
-    prev += bits[c];
+    prefix = (prefix << 1) | bits[c];
   }
   for (int c = 0; c < 8; ++c) {
     if (bits[c])
-      OctreeDecodeNode((prefix << 3) | static_cast<uint64_t>(c), level + 1,
-                       depth, models, dec, out);
+      OctreeDecodeNode((code_prefix << 3) | static_cast<uint64_t>(c),
+                       level + 1, depth, c, models, dec, out);
   }
 }
 
@@ -524,7 +528,7 @@ int64_t pcgc_octree_encode(const uint32_t* coords, int64_t n, int32_t depth,
   pcgc::RangeEncoder enc(&buf);
   OctreeModels models(depth);
   OctreeEncodeNode(codes.data(), 0, static_cast<int64_t>(codes.size()), 0,
-                   depth, &models, &enc);
+                   depth, 8, &models, &enc);
   enc.Finish();
   if (static_cast<int64_t>(buf.size()) > cap) return -1;
   std::memcpy(out, buf.data(), buf.size());
@@ -538,7 +542,7 @@ int64_t pcgc_octree_decode(const uint8_t* buf, int64_t nbytes, int32_t depth,
   pcgc::RangeDecoder dec(buf, static_cast<size_t>(nbytes));
   OctreeModels models(depth);
   std::vector<uint64_t> codes;
-  OctreeDecodeNode(0, 0, depth, &models, &dec, &codes);
+  OctreeDecodeNode(0, 0, depth, 8, &models, &dec, &codes);
   if (static_cast<int64_t>(codes.size()) > cap) return -1;
   for (size_t i = 0; i < codes.size(); ++i) {
     uint32_t x = 0, y = 0, z = 0;
