@@ -137,6 +137,7 @@ def cmd_train(args):
         batch_size=args.batch_size, cube_size=args.cube_size,
         num_iterations=int(args.num_iteration),
         scale_lower_bound=args.lower_bound, ckpt_dir=ckpt_dir,
+        save_every=args.save_every,
         init_ckpt_dir=args.init_ckpt_dir,
         reset_optimizer=bool(args.reset_optimizer),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
@@ -229,6 +230,7 @@ def main(argv=None):
     pt.add_argument("--init_ckpt_dir", default="")
     pt.add_argument("--reset_optimizer", type=int, default=0)
     pt.add_argument("--lower_bound", type=float, default=1e-9)
+    pt.add_argument("--save_every", type=int, default=5000)
     pt.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     pt.add_argument("--data_parallel", type=int, default=1)
