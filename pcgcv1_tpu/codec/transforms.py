@@ -58,6 +58,9 @@ def _tree_concat(chunks):
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
 
 
+from pcgcv1_tpu.ops.topk import topk_threshold_bitwise  # noqa: E402
+
+
 def quantize_prior(loc, scale):
     """Device-side prior quantization to transport codes."""
     loc_q = jnp.clip(jnp.round(loc * LOC_CODES_PER_UNIT),
@@ -203,10 +206,8 @@ class PointCloudCodec:
                 k = jnp.clip(jnp.floor(rho * nums.astype(jnp.float32)
                                        ).astype(jnp.int32),
                              1, flat.shape[-1])
-                srt = jnp.sort(flat, axis=-1)
-                idx = jnp.clip(flat.shape[-1] - k, 0, flat.shape[-1] - 1)
-                thres = jnp.take_along_axis(srt, idx[:, None], axis=-1)
-                mask = (flat >= thres).astype(jnp.uint8)
+                thres = topk_threshold_bitwise(flat, k)
+                mask = (flat >= thres[:, None]).astype(jnp.uint8)
                 spatial = logits.shape[1:-1]
                 # MSB-first bit packing (np.unpackbits order)
                 mask = mask.reshape((b,) + spatial[:-1]

@@ -180,14 +180,13 @@ class Trainer:
     def _iou(self, x_tilde, x):
         """rho=1 adaptive-threshold IoU on device (reference computes this
         via a numpy round trip per step)."""
+        from pcgcv1_tpu.ops.topk import topk_threshold_bitwise
         b = x.shape[0]
-        flat = x_tilde.reshape(b, -1)
+        flat = x_tilde.reshape(b, -1).astype(jnp.float32)
         nums = jnp.sum(x.reshape(b, -1), axis=-1).astype(jnp.int32)
         nums = jnp.clip(nums, 1, flat.shape[-1])
-        srt = jnp.sort(flat, axis=-1)
-        idx = jnp.clip(flat.shape[-1] - nums, 0, flat.shape[-1] - 1)
-        thres = jnp.take_along_axis(srt, idx[:, None], axis=-1)
-        mask = (flat >= thres).astype(jnp.float32)
+        thres = topk_threshold_bitwise(flat, nums)
+        mask = (flat >= thres[:, None]).astype(jnp.float32)
         _, _, iou = losses.classify_metrics(
             mask, x.reshape(b, -1), 0.0)
         return iou

@@ -119,3 +119,24 @@ class TestHyperCodec:
         la = codec_a.decompress_hyper(hs_a)
         lb = codec_b.decompress_hyper(hs_b)
         assert la.shape == lb.shape
+
+
+def test_bitwise_topk_matches_sort(rng):
+    """The sort-free threshold must reproduce the sort-based selector
+    exactly, including ties, negatives, and k=1/k=N edges."""
+    import jax.numpy as jnp
+    from pcgcv1_tpu.codec.transforms import topk_threshold_bitwise
+
+    flat = rng.normal(size=(6, 4097)).astype(np.float32) * 10
+    flat[0, :100] = flat[0, 100]       # ties
+    flat[1] = -np.abs(flat[1])         # all negative
+    flat[2] = 0.0                      # all equal
+    ks = np.array([1, 50, 4097, 2048, 7, 300], np.int32)
+    t = np.asarray(topk_threshold_bitwise(jnp.asarray(flat),
+                                          jnp.asarray(ks)))
+    srt = np.sort(flat, axis=-1)
+    ref = srt[np.arange(6), np.clip(4097 - ks, 0, 4096)]
+    np.testing.assert_array_equal(t, ref)
+    # identical masks
+    np.testing.assert_array_equal(flat >= t[:, None],
+                                  flat >= ref[:, None])
