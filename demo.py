@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--input", default="")
     ap.add_argument("--ckpt_dir", default="")
     ap.add_argument("--res", type=int, default=1024)
+    ap.add_argument("--n_points", type=int, default=850_000)
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--rho", type=float, default=1.0)
     args = ap.parse_args()
@@ -49,7 +50,7 @@ def main():
     if args.input:
         pts = load_ply(args.input)
     else:
-        pts = synthetic_cloud(args.res)
+        pts = synthetic_cloud(args.res, args.n_points)
     print(f"input: {len(pts)} points, res {args.res}")
 
     with timer("preprocess"):

@@ -140,3 +140,21 @@ def test_bitwise_topk_matches_sort(rng):
     # identical masks
     np.testing.assert_array_equal(flat >= t[:, None],
                                   flat >= ref[:, None])
+
+
+@pytest.mark.parametrize("cs", [8, 32])
+def test_other_cube_sizes(cs, rng):
+    """cube_size 32/128 ablation support (scaled to 8/32 for CPU compile
+    cost): the full hyper pipeline works for any cs divisible by 8."""
+    pts = np.unique(rng.integers(0, 2 * cs, (20000, 3)).astype(np.int32),
+                    axis=0)
+    pre = pipeline.preprocess_points(pts, cube_size=cs, min_num=5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        codec = PointCloudCodec(mode="hyper", chunk=4, cube_size=cs)
+    hs = codec.compress_hyper(pre.cubes)
+    masks = codec.decompress_hyper_masks(hs, pre.points_numbers, 1.0)
+    assert masks.shape == (pre.cubes.shape[0], cs, cs, cs)
+    out = pipeline.postprocess_from_masks(masks, pre.cube_positions,
+                                          1.0, cs)
+    assert out.min() >= 0 and out.max() < 2 * cs
