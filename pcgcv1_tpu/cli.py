@@ -160,6 +160,39 @@ def cmd_eval(args):
     evalharness.run_eval(args)
 
 
+def cmd_info(args):
+    from pcgcv1_tpu.codec import bitstream
+    rootdir, name = os.path.split(args.input)
+    rootdir = rootdir or "."
+    hyper = os.path.exists(os.path.join(rootdir, name + ".strings_head"))
+    mode = "hyper" if hyper else "factorized"
+    if hyper:
+        hs = bitstream.read_hyper(name, rootdir)
+        n_cubes = len(hs.y_strings)
+        nums, pos = hs.points_numbers, hs.cube_positions
+        print(f"mode: hyper   cubes: {n_cubes}")
+        print(f"y shape/cube: {hs.y_shape}  range packs: "
+              f"min {hs.y_min_vs.min()}..{hs.y_min_vs.max()}, "
+              f"max {hs.y_max_vs.min()}..{hs.y_max_vs.max()}")
+        print(f"z shape: {hs.z_shape}  z range: "
+              f"[{hs.z_min_v}, {hs.z_max_v}]")
+    else:
+        fs = bitstream.read_factorized(name, rootdir)
+        nums, pos = fs.points_numbers, fs.cube_positions
+        print(f"mode: factorized   shape: {fs.shape}  "
+              f"range: [{fs.min_v}, {fs.max_v}]")
+    n_points = int(np.asarray(nums, np.int64).sum())
+    exts = ([".strings", ".strings_head", ".strings_hyper"] if hyper
+            else [".strings"]) + [".pointnums", ".cubepos"]
+    total = 0
+    for ext in exts:
+        size = os.path.getsize(os.path.join(rootdir, name + ext))
+        total += size
+        print(f"  {ext[1:]:14s} {size:10d} B  {8*size/n_points:.4f} bpp")
+    print(f"  {'total':14s} {total:10d} B  {8*total/n_points:.4f} bpp  "
+          f"({n_points} points, {len(pos)} cubes)")
+
+
 def cmd_report(args):
     from pcgcv1_tpu import report
     out = args.out or os.path.join(args.eval_dir, "bdrate_bd.csv")
@@ -258,6 +291,10 @@ def main(argv=None):
     pg.add_argument("--h5", action="store_true",
                     help="write reference-style per-cube h5 files")
     pg.set_defaults(fn=cmd_gen_dataset)
+
+    pi = sub.add_parser("info", help="inspect a compressed file set")
+    pi.add_argument("input", help="path prefix of the compressed files")
+    pi.set_defaults(fn=cmd_info)
 
     pr = sub.add_parser("report", help="BD-rate tables vs anchors from "
                                        "eval CSVs (results.ipynb role)")

@@ -20,8 +20,9 @@ from pcgcv1_tpu.codec import pipeline
 def encode(points, scale=1.0):
     """Encode an integer point cloud losslessly after optional scaling.
 
-    Returns bytes: [u8 depth | u32 count | octree stream].
+    Returns bytes: [u8 version | u8 depth | u32 count | octree stream].
     """
+    from pcgcv1_tpu.codec.bitstream import OCTREE_FORMAT_VERSION
     pts = pipeline.scale_points(points, scale)
     if pts.min() < 0:
         raise ValueError("points must be non-negative")
@@ -29,14 +30,18 @@ def encode(points, scale=1.0):
     depth = max(1, int(np.ceil(np.log2(maxc + 1))) if maxc else 1)
     stream = native.octree_encode(pts.astype(np.uint32), depth)
     head = np.array([len(pts)], np.uint32).tobytes()
-    return bytes([depth]) + head + stream
+    return bytes([OCTREE_FORMAT_VERSION, depth]) + head + stream
 
 
 def decode(data, scale=1.0):
     """Decode to float64 points (inverse-scaled when scale != 1)."""
-    depth = data[0]
-    count = int(np.frombuffer(data[1:5], np.uint32)[0])
-    pts = native.octree_decode(data[5:], depth, count + 16)
+    from pcgcv1_tpu.codec.bitstream import OCTREE_FORMAT_VERSION
+    if data[0] != OCTREE_FORMAT_VERSION:
+        raise ValueError(f"anchor stream format v{data[0]} != "
+                         f"v{OCTREE_FORMAT_VERSION}")
+    depth = data[1]
+    count = int(np.frombuffer(data[2:6], np.uint32)[0])
+    pts = native.octree_decode(data[6:], depth, count + 16)
     out = pts.astype(np.float64)
     if scale != 1:
         out = out * (1.0 / scale)

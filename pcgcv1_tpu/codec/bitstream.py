@@ -36,18 +36,28 @@ from pcgcv1_tpu import native
 
 # --------------------------- cube positions ---------------------------------
 
+# Bump when the octree coder's context model (and thus its bitstream)
+# changes: decoding a stream with mismatched adaptive contexts yields
+# silent garbage, so fail loudly instead.
+OCTREE_FORMAT_VERSION = 2
+
+
 def encode_cube_positions(cube_positions):
     pos = np.asarray(cube_positions, np.int64)
     if pos.min() < 0:
         raise ValueError("cube positions must be non-negative")
     depth = max(1, int(np.ceil(np.log2(pos.max() + 1))) if pos.max() > 0 else 1)
     stream = native.octree_encode(pos.astype(np.uint32), depth)
-    return bytes([depth]) + stream
+    return bytes([OCTREE_FORMAT_VERSION, depth]) + stream
 
 
 def decode_cube_positions(data, max_cubes=1 << 22):
-    depth = data[0]
-    return native.octree_decode(data[1:], depth, max_cubes)
+    version, depth = data[0], data[1]
+    if version != OCTREE_FORMAT_VERSION:
+        raise ValueError(
+            f"cubepos stream format v{version} != v{OCTREE_FORMAT_VERSION} "
+            "(encoded by an incompatible build)")
+    return native.octree_decode(data[2:], depth, max_cubes)
 
 
 # ------------------------------ factorized ----------------------------------
