@@ -123,15 +123,44 @@ class Trainer:
             self.state = restored
             return
         if cfg.init_ckpt_dir:
-            # warm start: take params (and optimizer unless reset)
-            init = ckpt_lib.restore(cfg.init_ckpt_dir, like=self.state)
+            # warm start: take params (and optimizer unless reset). A
+            # structure mismatch (e.g. warm-starting a factorized run from
+            # a hyper checkpoint) falls back to copying the top-level
+            # modules that match by name and shape — the reference's
+            # object-graph restore behaves the same way for subsets.
+            try:
+                init = ckpt_lib.restore(cfg.init_ckpt_dir, like=self.state)
+                partial = False
+            except Exception:
+                init = ckpt_lib.restore(cfg.init_ckpt_dir)
+                partial = True
             if init is None:
                 raise FileNotFoundError(
                     f"init_ckpt_dir {cfg.init_ckpt_dir!r} has no checkpoint")
-            self.state["params"] = init["params"]
-            if not cfg.reset_optimizer:
-                self.state["opt_state"] = init["opt_state"]
-                self.state["step"] = init["step"]
+            if not partial:
+                self.state["params"] = init["params"]
+                if not cfg.reset_optimizer:
+                    self.state["opt_state"] = init["opt_state"]
+                    self.state["step"] = init["step"]
+            else:
+                src = init.get("params", init)
+                copied = []
+                for name, tree in self.state["params"].items():
+                    if name not in src:
+                        continue
+                    flat_dst = jax.tree.leaves(tree)
+                    flat_src = jax.tree.leaves(src[name])
+                    if len(flat_dst) == len(flat_src) and all(
+                            np.shape(a) == np.shape(b)
+                            for a, b in zip(flat_dst, flat_src)):
+                        self.state["params"][name] = jax.tree.map(
+                            jnp.asarray, src[name])
+                        copied.append(name)
+                print(f"partial warm start from {cfg.init_ckpt_dir}: "
+                      f"copied {copied}")
+                # fresh optimizer state for the mixed tree
+                self.state["opt_state"] = self.optimizer.init(
+                    self.state["params"])
 
     def save(self):
         ckpt_lib.save(self.cfg.ckpt_dir, self.state,

@@ -171,3 +171,24 @@ class TestShardedTrainer:
         m_mesh = tr_mesh.train_step(batch)
         np.testing.assert_allclose(float(m_single["loss"]),
                                    float(m_mesh["loss"]), rtol=1e-4)
+
+
+def test_partial_warm_start_across_modes(tmp_path):
+    """Warm-starting a factorized run from a hyper checkpoint copies the
+    shape-matching modules (analysis/synthesis) and inits the rest."""
+    cfg_h = _tiny_cfg(tmp_path, "hyper")
+    tr_h = Trainer(cfg_h)
+    ds = data.SyntheticCubeDataset(cube_size=16)
+    tr_h.train_step(next(ds.batches(4)))
+    tr_h.save()
+    cfg_f = _tiny_cfg(tmp_path, "factorized")
+    cfg_f.ckpt_dir = str(tmp_path / "fact")
+    cfg_f.init_ckpt_dir = cfg_h.ckpt_dir
+    cfg_f.reset_optimizer = True
+    tr_f = Trainer(cfg_f)
+    a_h = jax.tree.leaves(tr_h.state["params"]["analysis"])[0]
+    a_f = jax.tree.leaves(tr_f.state["params"]["analysis"])[0]
+    np.testing.assert_array_equal(np.asarray(a_h), np.asarray(a_f))
+    # estimator differs in channels -> freshly initialized, still trainable
+    m = tr_f.train_step(next(ds.batches(4)))
+    assert np.isfinite(float(m["loss"]))
