@@ -422,8 +422,14 @@ int pcgc_cdf_decode(const uint8_t* buf, int64_t nbytes, int64_t M, int32_t C,
 // (dataprocess/inout_bitstream.py:33-34,119-120) and lossless anchors.
 // Pre-order DFS over the octree of deduplicated points; each internal node
 // emits an 8-bit child-occupancy mask coded bit-by-bit with adaptive binary
-// models contexted on (level, child index, count of occupied earlier
-// siblings).
+// models. Context = (level, exact sibling-bit prefix, own octant within
+// the parent, occupancy of the three causal face neighbors (x-1, y-1,
+// z-1) at the node's level). The face neighbors have strictly smaller
+// Morton codes (Morton is monotone per coordinate), so in pre-order DFS
+// their existence bits are always decoded before the current node's byte
+// — the decoder maintains append-only per-level sorted code lists and
+// binary-searches them, mirroring what the encoder derives from its
+// sorted input.
 
 namespace {
 
@@ -437,24 +443,71 @@ inline uint64_t Morton3(uint32_t x, uint32_t y, uint32_t z, int depth) {
 }
 
 struct OctreeModels {
-  // Context = (level, exact already-coded sibling bit prefix, own octant
-  // within the parent). The sibling prefix for child c is a c-bit value;
-  // cumulative bases pack the 255 (child, prefix) states per level.
+  // [level][(child, sibling prefix) packed to 255][own octant 0..8]
+  // [causal neighbor occupancy bits 0..7]
   std::vector<pcgc::BitModel> m;
   int depth;
   explicit OctreeModels(int d)
-      : m(static_cast<size_t>(d) * 255 * 9), depth(d) {}
-  pcgc::BitModel& At(int level, int child, int prefix, int my_octant) {
+      : m(static_cast<size_t>(d) * 255 * 9 * 8), depth(d) {}
+  pcgc::BitModel& At(int level, int child, int prefix, int my_octant,
+                     int nbr) {
     static const int base[8] = {0, 1, 3, 7, 15, 31, 63, 127};
-    return m[(static_cast<size_t>(level) * 255 + base[child] + prefix) * 9
-             + my_octant];
+    return m[((static_cast<size_t>(level) * 255 + base[child] + prefix) * 9
+              + my_octant) * 8 + nbr];
   }
 };
 
+// Per-level knowledge of occupied node codes, identical on both sides:
+// encoder precomputes it from the sorted input; decoder appends codes as
+// their existence bits arrive (Morton-increasing, hence sorted).
+struct LevelCodes {
+  std::vector<std::vector<uint64_t>> codes;  // [level] sorted node codes
+  explicit LevelCodes(int depth) : codes(static_cast<size_t>(depth) + 1) {}
+  bool Contains(int level, uint64_t code) const {
+    const auto& v = codes[level];
+    auto it = std::lower_bound(v.begin(), v.end(), code);
+    return it != v.end() && *it == code;
+  }
+  void Append(int level, uint64_t code) { codes[level].push_back(code); }
+};
+
+// Occupancy bits of the (x-1, y-1, z-1) face neighbors of the level-l node
+// with Morton code `code`. Coordinate bits live at interleaved positions;
+// decrementing one coordinate = integer subtraction on its masked bits
+// (borrow propagates within the coordinate's own bit positions).
+inline int CausalNeighborContext(const LevelCodes& known, int level,
+                                 uint64_t code) {
+  if (level == 0) return 0;
+  // deinterleave
+  uint32_t x = 0, y = 0, z = 0;
+  for (int i = 0; i < level; ++i) {
+    x |= ((code >> (3 * i + 2)) & 1u) << i;
+    y |= ((code >> (3 * i + 1)) & 1u) << i;
+    z |= ((code >> (3 * i)) & 1u) << i;
+  }
+  auto morton = [&](uint32_t a, uint32_t b, uint32_t c) {
+    uint64_t m = 0;
+    for (int i = 0; i < level; ++i)
+      m |= (static_cast<uint64_t>((a >> i) & 1u) << (3 * i + 2)) |
+           (static_cast<uint64_t>((b >> i) & 1u) << (3 * i + 1)) |
+           (static_cast<uint64_t>((c >> i) & 1u) << (3 * i));
+    return m;
+  };
+  int ctx = 0;
+  if (x > 0 && known.Contains(level, morton(x - 1, y, z))) ctx |= 1;
+  if (y > 0 && known.Contains(level, morton(x, y - 1, z))) ctx |= 2;
+  if (z > 0 && known.Contains(level, morton(x, y, z - 1))) ctx |= 4;
+  return ctx;
+}
+
 void OctreeEncodeNode(const uint64_t* codes, int64_t lo, int64_t hi,
                       int level, int depth, int my_octant,
-                      OctreeModels* models, pcgc::RangeEncoder* enc) {
+                      const LevelCodes& known, OctreeModels* models,
+                      pcgc::RangeEncoder* enc) {
   if (level == depth) return;
+  const int shift_node = 3 * (depth - level);
+  const int nbr = CausalNeighborContext(known, level,
+                                        codes[lo] >> shift_node);
   const int shift = 3 * (depth - 1 - level);
   int64_t child_lo[9];
   child_lo[0] = lo;
@@ -473,7 +526,7 @@ void OctreeEncodeNode(const uint64_t* codes, int64_t lo, int64_t hi,
   int prefix = 0;
   for (int c = 0; c < 8; ++c) {
     int bit = child_lo[c + 1] > child_lo[c];
-    pcgc::BitModel& bm = models->At(level, c, prefix, my_octant);
+    pcgc::BitModel& bm = models->At(level, c, prefix, my_octant, nbr);
     enc->EncodeBit(bit, bm.p0);
     bm.Update(bit);
     prefix = (prefix << 1) | bit;
@@ -481,29 +534,34 @@ void OctreeEncodeNode(const uint64_t* codes, int64_t lo, int64_t hi,
   for (int c = 0; c < 8; ++c) {
     if (child_lo[c + 1] > child_lo[c])
       OctreeEncodeNode(codes, child_lo[c], child_lo[c + 1], level + 1, depth,
-                       c, models, enc);
+                       c, known, models, enc);
   }
 }
 
 void OctreeDecodeNode(uint64_t code_prefix, int level, int depth,
-                      int my_octant, OctreeModels* models,
-                      pcgc::RangeDecoder* dec, std::vector<uint64_t>* out) {
+                      int my_octant, LevelCodes* known,
+                      OctreeModels* models, pcgc::RangeDecoder* dec,
+                      std::vector<uint64_t>* out) {
   if (level == depth) {
     out->push_back(code_prefix);
     return;
   }
+  const int nbr = CausalNeighborContext(*known, level, code_prefix);
   int bits[8];
   int prefix = 0;
   for (int c = 0; c < 8; ++c) {
-    pcgc::BitModel& bm = models->At(level, c, prefix, my_octant);
+    pcgc::BitModel& bm = models->At(level, c, prefix, my_octant, nbr);
     bits[c] = dec->DecodeBit(bm.p0);
     bm.Update(bits[c]);
     prefix = (prefix << 1) | bits[c];
+    if (bits[c])
+      known->Append(level + 1,
+                    (code_prefix << 3) | static_cast<uint64_t>(c));
   }
   for (int c = 0; c < 8; ++c) {
     if (bits[c])
       OctreeDecodeNode((code_prefix << 3) | static_cast<uint64_t>(c),
-                       level + 1, depth, c, models, dec, out);
+                       level + 1, depth, c, known, models, dec, out);
   }
 }
 
@@ -527,8 +585,18 @@ int64_t pcgc_octree_encode(const uint32_t* coords, int64_t n, int32_t depth,
   std::vector<uint8_t> buf;
   pcgc::RangeEncoder enc(&buf);
   OctreeModels models(depth);
+  LevelCodes known(depth);
+  for (int l = 1; l <= depth; ++l) {
+    known.codes[l].reserve(codes.size());
+    uint64_t prev = ~0ull;
+    for (uint64_t c : codes) {
+      uint64_t node = c >> (3 * (depth - l));
+      if (node != prev) known.codes[l].push_back(node);
+      prev = node;
+    }
+  }
   OctreeEncodeNode(codes.data(), 0, static_cast<int64_t>(codes.size()), 0,
-                   depth, 8, &models, &enc);
+                   depth, 8, known, &models, &enc);
   enc.Finish();
   if (static_cast<int64_t>(buf.size()) > cap) return -1;
   std::memcpy(out, buf.data(), buf.size());
@@ -541,8 +609,9 @@ int64_t pcgc_octree_decode(const uint8_t* buf, int64_t nbytes, int32_t depth,
   if (depth < 1 || depth > 21) return -1;
   pcgc::RangeDecoder dec(buf, static_cast<size_t>(nbytes));
   OctreeModels models(depth);
+  LevelCodes known(depth);
   std::vector<uint64_t> codes;
-  OctreeDecodeNode(0, 0, depth, 8, &models, &dec, &codes);
+  OctreeDecodeNode(0, 0, depth, 8, &known, &models, &dec, &codes);
   if (static_cast<int64_t>(codes.size()) > cap) return -1;
   for (size_t i = 0; i < codes.size(); ++i) {
     uint32_t x = 0, y = 0, z = 0;
