@@ -39,7 +39,7 @@ from pcgcv1_tpu import native
 # Bump when the octree coder's context model (and thus its bitstream)
 # changes: decoding a stream with mismatched adaptive contexts yields
 # silent garbage, so fail loudly instead.
-OCTREE_FORMAT_VERSION = 2
+OCTREE_FORMAT_VERSION = 3
 
 
 def encode_cube_positions(cube_positions):

@@ -443,126 +443,158 @@ inline uint64_t Morton3(uint32_t x, uint32_t y, uint32_t z, int depth) {
 }
 
 struct OctreeModels {
-  // [level][(child, sibling prefix) packed to 255][own octant 0..8]
-  // [causal neighbor occupancy bits 0..7]
+  // Context = (level, child octant, exact sibling-bit prefix, the 3
+  // same-level face neighbors adjacent to the child's octant sides).
+  // BFS coding makes the FULL previous level available, so both the
+  // negative and positive face neighbors are known (G-PCC-style).
   std::vector<pcgc::BitModel> m;
   int depth;
   explicit OctreeModels(int d)
-      : m(static_cast<size_t>(d) * 255 * 9 * 8), depth(d) {}
-  pcgc::BitModel& At(int level, int child, int prefix, int my_octant,
-                     int nbr) {
+      : m(static_cast<size_t>(d) * 255 * 8), depth(d) {}
+  pcgc::BitModel& At(int level, int child, int prefix, int nbr3) {
     static const int base[8] = {0, 1, 3, 7, 15, 31, 63, 127};
-    return m[((static_cast<size_t>(level) * 255 + base[child] + prefix) * 9
-              + my_octant) * 8 + nbr];
+    return m[(static_cast<size_t>(level) * 255 + base[child] + prefix) * 8
+             + nbr3];
   }
 };
 
-// Per-level knowledge of occupied node codes, identical on both sides:
-// encoder precomputes it from the sorted input; decoder appends codes as
-// their existence bits arrive (Morton-increasing, hence sorted).
-struct LevelCodes {
-  std::vector<std::vector<uint64_t>> codes;  // [level] sorted node codes
-  explicit LevelCodes(int depth) : codes(static_cast<size_t>(depth) + 1) {}
-  bool Contains(int level, uint64_t code) const {
-    const auto& v = codes[level];
-    auto it = std::lower_bound(v.begin(), v.end(), code);
-    return it != v.end() && *it == code;
-  }
-  void Append(int level, uint64_t code) { codes[level].push_back(code); }
+struct Coord3 {
+  uint32_t x, y, z;
 };
 
-// Occupancy bits of the (x-1, y-1, z-1) face neighbors of the level-l node
-// with Morton code `code`. Coordinate bits live at interleaved positions;
-// decrementing one coordinate = integer subtraction on its masked bits
-// (borrow propagates within the coordinate's own bit positions).
-inline int CausalNeighborContext(const LevelCodes& known, int level,
-                                 uint64_t code) {
-  if (level == 0) return 0;
-  // deinterleave
-  uint32_t x = 0, y = 0, z = 0;
+inline Coord3 Deinterleave(uint64_t code, int level) {
+  Coord3 p{0, 0, 0};
   for (int i = 0; i < level; ++i) {
-    x |= ((code >> (3 * i + 2)) & 1u) << i;
-    y |= ((code >> (3 * i + 1)) & 1u) << i;
-    z |= ((code >> (3 * i)) & 1u) << i;
+    p.x |= ((code >> (3 * i + 2)) & 1u) << i;
+    p.y |= ((code >> (3 * i + 1)) & 1u) << i;
+    p.z |= ((code >> (3 * i)) & 1u) << i;
   }
-  auto morton = [&](uint32_t a, uint32_t b, uint32_t c) {
-    uint64_t m = 0;
-    for (int i = 0; i < level; ++i)
-      m |= (static_cast<uint64_t>((a >> i) & 1u) << (3 * i + 2)) |
-           (static_cast<uint64_t>((b >> i) & 1u) << (3 * i + 1)) |
-           (static_cast<uint64_t>((c >> i) & 1u) << (3 * i));
-    return m;
+  return p;
+}
+
+inline uint64_t Interleave(uint32_t x, uint32_t y, uint32_t z, int level) {
+  uint64_t m = 0;
+  for (int i = 0; i < level; ++i)
+    m |= (static_cast<uint64_t>((x >> i) & 1u) << (3 * i + 2)) |
+         (static_cast<uint64_t>((y >> i) & 1u) << (3 * i + 1)) |
+         (static_cast<uint64_t>((z >> i) & 1u) << (3 * i));
+  return m;
+}
+
+inline bool SortedContains(const std::vector<uint64_t>& v, uint64_t code) {
+  auto it = std::lower_bound(v.begin(), v.end(), code);
+  return it != v.end() && *it == code;
+}
+
+// 6-bit face-neighbor occupancy of the level-l node `code` given the full
+// sorted list of level-l occupied codes. bit0/1: x-1/x+1, bit2/3: y-1/y+1,
+// bit4/5: z-1/z+1.
+inline int NeighborPattern(const std::vector<uint64_t>& level_codes,
+                           uint64_t code, int level) {
+  if (level == 0) return 0;
+  Coord3 p = Deinterleave(code, level);
+  const uint32_t lim = 1u << level;
+  int pat = 0;
+  if (p.x > 0 && SortedContains(level_codes,
+                                Interleave(p.x - 1, p.y, p.z, level)))
+    pat |= 1;
+  if (p.x + 1 < lim && SortedContains(level_codes,
+                                      Interleave(p.x + 1, p.y, p.z, level)))
+    pat |= 2;
+  if (p.y > 0 && SortedContains(level_codes,
+                                Interleave(p.x, p.y - 1, p.z, level)))
+    pat |= 4;
+  if (p.y + 1 < lim && SortedContains(level_codes,
+                                      Interleave(p.x, p.y + 1, p.z, level)))
+    pat |= 8;
+  if (p.z > 0 && SortedContains(level_codes,
+                                Interleave(p.x, p.y, p.z - 1, level)))
+    pat |= 16;
+  if (p.z + 1 < lim && SortedContains(level_codes,
+                                      Interleave(p.x, p.y, p.z + 1, level)))
+    pat |= 32;
+  return pat;
+}
+
+// The 3 neighbor bits facing child octant c (bits: x=c>>2, y=(c>>1)&1,
+// z=c&1): pick the x-1 or x+1 neighbor depending on which side the octant
+// touches, likewise y, z.
+inline int ChildNeighborCtx(int pat, int c) {
+  int nx = (c & 4) ? (pat >> 1) & 1 : pat & 1;
+  int ny = (c & 2) ? (pat >> 3) & 1 : (pat >> 2) & 1;
+  int nz = (c & 1) ? (pat >> 5) & 1 : (pat >> 4) & 1;
+  return (nx << 2) | (ny << 1) | nz;
+}
+
+void OctreeEncodeBfs(const std::vector<uint64_t>& codes, int depth,
+                     OctreeModels* models, pcgc::RangeEncoder* enc) {
+  // nodes at the current level as (code, lo, hi) ranges into `codes`
+  struct Node {
+    uint64_t code;
+    int64_t lo, hi;
   };
-  int ctx = 0;
-  if (x > 0 && known.Contains(level, morton(x - 1, y, z))) ctx |= 1;
-  if (y > 0 && known.Contains(level, morton(x, y - 1, z))) ctx |= 2;
-  if (z > 0 && known.Contains(level, morton(x, y, z - 1))) ctx |= 4;
-  return ctx;
-}
-
-void OctreeEncodeNode(const uint64_t* codes, int64_t lo, int64_t hi,
-                      int level, int depth, int my_octant,
-                      const LevelCodes& known, OctreeModels* models,
-                      pcgc::RangeEncoder* enc) {
-  if (level == depth) return;
-  const int shift_node = 3 * (depth - level);
-  const int nbr = CausalNeighborContext(known, level,
-                                        codes[lo] >> shift_node);
-  const int shift = 3 * (depth - 1 - level);
-  int64_t child_lo[9];
-  child_lo[0] = lo;
-  for (int c = 0; c < 8; ++c) {
-    // first index with child bits > c
-    int64_t a = child_lo[c], b = hi;
-    while (a < b) {
-      int64_t m = (a + b) >> 1;
-      if (static_cast<int>((codes[m] >> shift) & 7) <= c)
-        a = m + 1;
-      else
-        b = m;
+  std::vector<Node> nodes{{0, 0, static_cast<int64_t>(codes.size())}};
+  std::vector<uint64_t> level_codes{0};
+  for (int level = 0; level < depth; ++level) {
+    const int shift = 3 * (depth - 1 - level);
+    std::vector<Node> next;
+    next.reserve(nodes.size() * 2);
+    for (const Node& nd : nodes) {
+      int64_t child_lo[9];
+      child_lo[0] = nd.lo;
+      for (int c = 0; c < 8; ++c) {
+        int64_t a = child_lo[c], b = nd.hi;
+        while (a < b) {
+          int64_t m = (a + b) >> 1;
+          if (static_cast<int>((codes[m] >> shift) & 7) <= c)
+            a = m + 1;
+          else
+            b = m;
+        }
+        child_lo[c + 1] = a;
+      }
+      const int pat = NeighborPattern(level_codes, nd.code, level);
+      int prefix = 0;
+      for (int c = 0; c < 8; ++c) {
+        int bit = child_lo[c + 1] > child_lo[c];
+        pcgc::BitModel& bm =
+            models->At(level, c, prefix, ChildNeighborCtx(pat, c));
+        enc->EncodeBit(bit, bm.p0);
+        bm.Update(bit);
+        prefix = (prefix << 1) | bit;
+        if (bit)
+          next.push_back({(nd.code << 3) | static_cast<uint64_t>(c),
+                          child_lo[c], child_lo[c + 1]});
+      }
     }
-    child_lo[c + 1] = a;
-  }
-  int prefix = 0;
-  for (int c = 0; c < 8; ++c) {
-    int bit = child_lo[c + 1] > child_lo[c];
-    pcgc::BitModel& bm = models->At(level, c, prefix, my_octant, nbr);
-    enc->EncodeBit(bit, bm.p0);
-    bm.Update(bit);
-    prefix = (prefix << 1) | bit;
-  }
-  for (int c = 0; c < 8; ++c) {
-    if (child_lo[c + 1] > child_lo[c])
-      OctreeEncodeNode(codes, child_lo[c], child_lo[c + 1], level + 1, depth,
-                       c, known, models, enc);
+    nodes = std::move(next);
+    level_codes.clear();
+    level_codes.reserve(nodes.size());
+    for (const Node& nd : nodes) level_codes.push_back(nd.code);
   }
 }
 
-void OctreeDecodeNode(uint64_t code_prefix, int level, int depth,
-                      int my_octant, LevelCodes* known,
-                      OctreeModels* models, pcgc::RangeDecoder* dec,
-                      std::vector<uint64_t>* out) {
-  if (level == depth) {
-    out->push_back(code_prefix);
-    return;
+void OctreeDecodeBfs(int depth, OctreeModels* models,
+                     pcgc::RangeDecoder* dec, std::vector<uint64_t>* out) {
+  std::vector<uint64_t> nodes{0};
+  for (int level = 0; level < depth; ++level) {
+    std::vector<uint64_t> next;
+    next.reserve(nodes.size() * 2);
+    for (uint64_t code : nodes) {
+      const int pat = NeighborPattern(nodes, code, level);
+      int prefix = 0;
+      for (int c = 0; c < 8; ++c) {
+        pcgc::BitModel& bm =
+            models->At(level, c, prefix, ChildNeighborCtx(pat, c));
+        int bit = dec->DecodeBit(bm.p0);
+        bm.Update(bit);
+        prefix = (prefix << 1) | bit;
+        if (bit) next.push_back((code << 3) | static_cast<uint64_t>(c));
+      }
+    }
+    nodes = std::move(next);
   }
-  const int nbr = CausalNeighborContext(*known, level, code_prefix);
-  int bits[8];
-  int prefix = 0;
-  for (int c = 0; c < 8; ++c) {
-    pcgc::BitModel& bm = models->At(level, c, prefix, my_octant, nbr);
-    bits[c] = dec->DecodeBit(bm.p0);
-    bm.Update(bits[c]);
-    prefix = (prefix << 1) | bits[c];
-    if (bits[c])
-      known->Append(level + 1,
-                    (code_prefix << 3) | static_cast<uint64_t>(c));
-  }
-  for (int c = 0; c < 8; ++c) {
-    if (bits[c])
-      OctreeDecodeNode((code_prefix << 3) | static_cast<uint64_t>(c),
-                       level + 1, depth, c, known, models, dec, out);
-  }
+  *out = std::move(nodes);
 }
 
 }  // namespace
@@ -585,18 +617,7 @@ int64_t pcgc_octree_encode(const uint32_t* coords, int64_t n, int32_t depth,
   std::vector<uint8_t> buf;
   pcgc::RangeEncoder enc(&buf);
   OctreeModels models(depth);
-  LevelCodes known(depth);
-  for (int l = 1; l <= depth; ++l) {
-    known.codes[l].reserve(codes.size());
-    uint64_t prev = ~0ull;
-    for (uint64_t c : codes) {
-      uint64_t node = c >> (3 * (depth - l));
-      if (node != prev) known.codes[l].push_back(node);
-      prev = node;
-    }
-  }
-  OctreeEncodeNode(codes.data(), 0, static_cast<int64_t>(codes.size()), 0,
-                   depth, 8, known, &models, &enc);
+  OctreeEncodeBfs(codes, depth, &models, &enc);
   enc.Finish();
   if (static_cast<int64_t>(buf.size()) > cap) return -1;
   std::memcpy(out, buf.data(), buf.size());
@@ -609,9 +630,8 @@ int64_t pcgc_octree_decode(const uint8_t* buf, int64_t nbytes, int32_t depth,
   if (depth < 1 || depth > 21) return -1;
   pcgc::RangeDecoder dec(buf, static_cast<size_t>(nbytes));
   OctreeModels models(depth);
-  LevelCodes known(depth);
   std::vector<uint64_t> codes;
-  OctreeDecodeNode(0, 0, depth, 8, &known, &models, &dec, &codes);
+  OctreeDecodeBfs(depth, &models, &dec, &codes);
   if (static_cast<int64_t>(codes.size()) > cap) return -1;
   for (size_t i = 0; i < codes.size(); ++i) {
     uint32_t x = 0, y = 0, z = 0;
