@@ -158,3 +158,16 @@ def test_other_cube_sizes(cs, rng):
     out = pipeline.postprocess_from_masks(masks, pre.cube_positions,
                                           1.0, cs)
     assert out.min() >= 0 and out.max() < 2 * cs
+
+
+def test_mask_path_equals_logits_path(pre):
+    """decompress_hyper_masks must equal classifying the logits path's
+    output on host (same thresholds, same ties)."""
+    from pcgcv1_tpu.ops import select_voxels
+    codec = _codec("hyper")
+    hs = codec.compress_hyper(pre.cubes)
+    nums = pre.points_numbers
+    masks_fast = codec.decompress_hyper_masks(hs, nums, rho=1.0)
+    logits = codec.decompress_hyper(hs)
+    masks_ref = select_voxels(logits, nums, rho=1.0)
+    assert np.array_equal(masks_fast.astype(np.float32), masks_ref)
