@@ -50,6 +50,7 @@ def main():
 
     chunk = int(os.environ.get("PCGC_BENCH_CHUNK", "32"))
     dtype_name = os.environ.get("PCGC_BENCH_DTYPE", "bfloat16")
+    coder = os.environ.get("PCGC_BENCH_CODER", "device")
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -58,9 +59,10 @@ def main():
     n_cubes = pre.cubes.shape[0]
     print(f"workload: {len(pts)} points, {n_cubes} cubes of 64^3, "
           f"platform={jax.devices()[0].platform}, chunk={chunk}, "
-          f"dtype={dtype_name}", file=sys.stderr)
+          f"dtype={dtype_name}, coder={coder}", file=sys.stderr)
 
-    codec = PointCloudCodec(mode="hyper", chunk=chunk, dtype=dtype)
+    codec = PointCloudCodec(mode="hyper", chunk=chunk, dtype=dtype,
+                            coder=coder)
 
     nums = pre.points_numbers
 

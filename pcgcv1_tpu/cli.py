@@ -41,6 +41,11 @@ def _add_codec_flags(p):
                         "of one stream must match)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--coder", default="host", choices=["host", "device"],
+                   help="y entropy coder (hyper mode): 'host' = C++ range "
+                        "coder, reference-format streams; 'device' = "
+                        "on-TPU interleaved rANS, minimal link traffic. "
+                        "Decode auto-detects from the stream.")
     p.add_argument("--rootdir", default="./compressed")
 
 
@@ -51,7 +56,7 @@ def _make_codec(args):
     return PointCloudCodec(
         model=args.modelname, mode=args.mode,
         ckpt_dir=args.ckpt_dir or None, dtype=dtype, chunk=args.chunk,
-        cube_size=args.cube_size)
+        cube_size=args.cube_size, coder=getattr(args, "coder", "host"))
 
 
 def cmd_compress(args):

@@ -110,7 +110,7 @@ def read_factorized(filename, rootdir="./"):
 @dataclasses.dataclass
 class HyperStreams:
     y_strings: list            # B byte strings
-    y_min_vs: np.ndarray       # int [B]
+    y_min_vs: np.ndarray       # int [B] (all-zero for the device coder)
     y_max_vs: np.ndarray       # int [B]
     y_shape: tuple             # [1, n, n, n, C] single-cube shape
     z_strings: bytes
@@ -119,6 +119,11 @@ class HyperStreams:
     z_shape: tuple             # [B, m, m, m, Cz]
     points_numbers: np.ndarray
     cube_positions: np.ndarray
+    # y entropy coder: "host" = C++ range coder over quantized-Laplace CDFs
+    # (reference-format layout); "device" = on-TPU interleaved rANS
+    # (entropy/rans.py) — tagged in .strings_head by a negative cube count.
+    coder: str = "host"
+    lanes: int = 0             # rANS lanes per cube (device coder only)
 
 
 def write_hyper(filename, hs: HyperStreams, rootdir="./"):
@@ -135,15 +140,32 @@ def write_hyper(filename, hs: HyperStreams, rootdir="./"):
             f"max {y_max.min()}..{y_max.max()}); "
             "reference format constraint (inout_bitstream.py:95-96)")
     with open(base + ".strings_head", "wb") as f:
-        f.write(np.array(len(hs.y_strings), np.int16).tobytes())
+        if hs.coder == "device":
+            # v2 tag: negative cube count, then a lanes byte. Old readers
+            # fail loudly (negative count) instead of mis-decoding.
+            f.write(np.array(-len(hs.y_strings), np.int16).tobytes())
+            f.write(np.array(hs.lanes, np.uint8).tobytes())
+        else:
+            f.write(np.array(len(hs.y_strings), np.int16).tobytes())
         f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
         for s in hs.y_strings:
             n = len(s)
             if n <= 255:
                 f.write(np.array(n, np.uint8).tobytes())
-            else:
+            elif n <= 32767:
                 f.write(np.array(0, np.uint8).tobytes())
                 f.write(np.array(n, np.int16).tobytes())
+            elif hs.coder == "device":
+                # v2-only second escape (int16 -1 then int32); the host
+                # coder keeps the reference's two-level format exactly
+                f.write(np.array(0, np.uint8).tobytes())
+                f.write(np.array(-1, np.int16).tobytes())
+                f.write(np.array(n, np.int32).tobytes())
+            else:
+                raise ValueError(
+                    f"per-cube stream of {n} bytes exceeds the reference "
+                    "container's int16 length field "
+                    "(inout_bitstream.py:97-103)")
         f.write(np.array(hs.y_shape, np.int16).tobytes())
     with open(base + ".strings", "wb") as f:
         for s in hs.y_strings:
@@ -169,6 +191,10 @@ def read_hyper(filename, rootdir="./"):
     base = os.path.join(rootdir, filename)
     with open(base + ".strings_head", "rb") as f:
         n_cubes = int(np.frombuffer(f.read(2), np.int16)[0])
+        coder, lanes = "host", 0
+        if n_cubes < 0:
+            coder, n_cubes = "device", -n_cubes
+            lanes = int(np.frombuffer(f.read(1), np.uint8)[0])
         packed = np.frombuffer(f.read(n_cubes), np.uint8).astype(np.int32)
         y_max_vs = packed // 16
         y_min_vs = -(packed % 16)
@@ -177,6 +203,8 @@ def read_hyper(filename, rootdir="./"):
             l = int(np.frombuffer(f.read(1), np.uint8)[0])
             if l == 0:
                 l = int(np.frombuffer(f.read(2), np.int16)[0])
+                if l == -1:
+                    l = int(np.frombuffer(f.read(4), np.int32)[0])
             lens.append(l)
         y_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
     with open(base + ".strings", "rb") as f:
@@ -191,4 +219,5 @@ def read_hyper(filename, rootdir="./"):
         cube_positions = decode_cube_positions(f.read())
     return HyperStreams(y_strings, y_min_vs, y_max_vs, y_shape,
                         z_strings, int(z_min_v), int(z_max_v), z_shape,
-                        points_numbers, cube_positions)
+                        points_numbers, cube_positions,
+                        coder=coder, lanes=lanes)

@@ -16,7 +16,7 @@ from pcgcv1_tpu.ops import partition, ply, topk, voxel
 
 @dataclasses.dataclass
 class PreprocessResult:
-    cubes: np.ndarray           # float32 [B, cs, cs, cs, 1] occupancy
+    cubes: np.ndarray           # uint8 [B, cs, cs, cs, 1] occupancy (0/1)
     cube_positions: np.ndarray  # int32 [B, 3] canonical order
     points_numbers: np.ndarray  # uint16 [B] occupied-voxel count per cube
 
@@ -47,8 +47,10 @@ def preprocess_points(points, scale=1.0, cube_size=64, min_num=64):
     points = scale_points(points, scale)
     local, cube_ids, cube_positions, _ = partition.partition_points(
         points, cube_size, min_num)
+    # uint8 occupancy: 4x less host memory/glue than f32 and the codec's
+    # transport dtype directly (transforms._occupancy_u8 passes it through)
     cubes = voxel.points_to_voxels(local, cube_ids, len(cube_positions),
-                                   cube_size)
+                                   cube_size, dtype=np.uint8)
     points_numbers = voxel.occupied_counts(cubes).astype(np.uint16)
     return PreprocessResult(cubes, cube_positions, points_numbers)
 

@@ -39,7 +39,7 @@ import numpy as np
 
 from pcgcv1_tpu import native
 from pcgcv1_tpu.codec import bitstream
-from pcgcv1_tpu.entropy import FactorizedEntropy, conditional
+from pcgcv1_tpu.entropy import FactorizedEntropy, conditional, rans
 from pcgcv1_tpu.entropy.factorized import export_cdf_weights
 from pcgcv1_tpu.models import get_model
 from pcgcv1_tpu.utils import checkpoint as ckpt_lib
@@ -55,7 +55,19 @@ Y_CLIP = 120
 
 
 def _tree_concat(chunks):
+    if len(chunks) == 1:
+        return chunks[0]
     return jax.tree.map(lambda *xs: np.concatenate(xs, axis=0), *chunks)
+
+
+def _occupancy_u8(cubes):
+    """Occupancy volumes as uint8 without copying when already uint8
+    (pipeline.preprocess emits uint8; float inputs are thresholded the
+    reference way, > 0.5)."""
+    cubes = np.asarray(cubes)
+    if cubes.dtype == np.uint8:
+        return cubes
+    return (cubes > 0.5).astype(np.uint8)
 
 
 from pcgcv1_tpu.ops.topk import topk_threshold_bitwise  # noqa: E402
@@ -89,9 +101,13 @@ class PointCloudCodec:
 
     def __init__(self, model="voxception", mode="hyper", ckpt_dir=None,
                  dtype=jnp.float32, chunk=64, cube_size=64, mesh=None,
-                 seed=0):
+                 seed=0, coder="host", lanes=rans.DEFAULT_LANES):
         if mode not in ("hyper", "factorized"):
             raise ValueError(f"unknown mode {mode!r}")
+        if coder not in ("host", "device"):
+            raise ValueError(f"unknown coder {coder!r}")
+        self.coder = coder
+        self.lanes = int(lanes)
         self.family = get_model(model)
         self.mode = mode
         self.hyper = mode == "hyper"
@@ -99,6 +115,9 @@ class PointCloudCodec:
         self.cube_size = int(cube_size)
         self.mesh = mesh
         self.modules = self.family.make(dtype=dtype, hyper=self.hyper)
+        f = self.family.down_factor
+        self._y_spatial = (self.cube_size // f,) * 3 + (
+            self.family.latent_channels,)
         bottleneck_channels = (self.family.hyper_channels if self.hyper
                                else self.family.latent_channels)
         self.estimator = FactorizedEntropy(channels=bottleneck_channels)
@@ -155,6 +174,22 @@ class PointCloudCodec:
                 "(no ckpt_dir given)")
         return params
 
+    @staticmethod
+    def _pack_classify(logits, nums, rho):
+        """rho-weighted adaptive top-k on device, output bit-packed
+        (MSB-first, np.unpackbits order): 1 bit/voxel downloads."""
+        b = logits.shape[0]
+        flat = logits.reshape(b, -1)
+        k = jnp.clip(jnp.floor(rho * nums.astype(jnp.float32)
+                               ).astype(jnp.int32),
+                     1, flat.shape[-1])
+        thres = topk_threshold_bitwise(flat, k)
+        mask = (flat >= thres[:, None]).astype(jnp.uint8)
+        spatial = logits.shape[1:-1]
+        mask = mask.reshape((b,) + spatial[:-1] + (spatial[-1] // 8, 8))
+        weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+        return (mask * weights).sum(axis=-1).astype(jnp.uint8)
+
     # -------------------------------------------------------------- jitted --
     def _jitted(self, name):
         if name in self._jit_cache:
@@ -201,20 +236,41 @@ class PointCloudCodec:
             def fn(params, y8, nums, rho):
                 logits = apply("synthesis", params["synthesis"],
                                y8.astype(jnp.float32))
-                b = logits.shape[0]
-                flat = logits.reshape(b, -1)
-                k = jnp.clip(jnp.floor(rho * nums.astype(jnp.float32)
-                                       ).astype(jnp.int32),
-                             1, flat.shape[-1])
-                thres = topk_threshold_bitwise(flat, k)
-                mask = (flat >= thres[:, None]).astype(jnp.uint8)
-                spatial = logits.shape[1:-1]
-                # MSB-first bit packing (np.unpackbits order)
-                mask = mask.reshape((b,) + spatial[:-1]
-                                    + (spatial[-1] // 8, 8))
-                weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1],
-                                      jnp.uint8)
-                return (mask * weights).sum(axis=-1).astype(jnp.uint8)
+                return self._pack_classify(logits, nums, rho)
+        elif name.startswith("rans_encode:"):
+            # device entropy coding: y int8 + prior codes (all device-
+            # resident) -> compacted rANS words; the per-element prior
+            # never crosses the host link (entropy/rans.py)
+            _, cap, lanes = name.split(":")
+            cap, lanes = int(cap), int(lanes)
+
+            def fn(params, y8, lq, sq):
+                b = y8.shape[0]
+                u = y8.astype(jnp.int32).reshape(b, -1) + 128
+                return rans.rans_encode(
+                    u, lq.astype(jnp.int32).reshape(b, -1),
+                    sq.astype(jnp.int32).reshape(b, -1), lanes, cap)
+        elif name.startswith("rans_synthesis:") \
+                or name.startswith("rans_classify:"):
+            # fused device decode: rANS -> y -> synthesis [-> top-k mask].
+            # Integer rANS + decode-only float stages are safe to fuse; the
+            # shared float "prior" program stays standalone (contract above)
+            _, _, lanes = name.split(":")
+            lanes = int(lanes)
+            classify = name.startswith("rans_classify:")
+
+            def fn(params, words, states, lq, sq, *extras):
+                b = lq.shape[0]
+                u = rans.rans_decode(
+                    words, states, lq.astype(jnp.int32).reshape(b, -1),
+                    sq.astype(jnp.int32).reshape(b, -1), lanes)
+                y = (u - 128).astype(jnp.float32).reshape(
+                    (b,) + self._y_spatial)
+                logits = apply("synthesis", params["synthesis"], y)
+                if not classify:
+                    return logits
+                nums, rho = extras
+                return self._pack_classify(logits, nums, rho)
         else:
             raise KeyError(name)
 
@@ -222,48 +278,45 @@ class PointCloudCodec:
         self._jit_cache[name] = jfn
         return jfn
 
-    def _chunked(self, name, *arrays):
-        """Run a jitted stage over the batch in fixed-size padded chunks,
-        dispatching all chunks before fetching (overlaps transfer with
-        compute)."""
-        fn = self._jitted(name)
+    def _iter_chunks(self, arrays):
+        """Yield (start, pieces) of fixed-size chunks; only the final short
+        chunk is zero-padded (no full-batch concatenate copies)."""
         b = arrays[0].shape[0]
-        chunk = self.chunk
-        pad = (-b) % chunk
-        padded = []
-        for a in arrays:
-            a = np.asarray(a)
-            if pad:
-                a = np.concatenate(
-                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-            padded.append(a)
-        futs = []
-        for i in range(0, b + pad, chunk):
-            pieces = [p[i:i + chunk] for p in padded]
-            if self._sharding is not None:
-                pieces = [jax.device_put(p, self._sharding) for p in pieces]
-            futs.append(fn(self.params, *pieces))
-        outs = [jax.device_get(f) for f in futs]
-        out = _tree_concat(outs)
-        return jax.tree.map(lambda a: a[:b], out)
+        for i in range(0, b, self.chunk):
+            pieces = []
+            for a in arrays:
+                p = a[i:i + self.chunk]
+                short = self.chunk - p.shape[0]
+                if short:
+                    p = np.concatenate(
+                        [p, np.zeros((short,) + p.shape[1:], p.dtype)],
+                        axis=0)
+                pieces.append(p)
+            yield i, pieces
 
-    def _chunked_scalar(self, name, arrays, scalars):
-        """Like _chunked but with trailing per-call scalar args."""
+    def _put(self, pieces):
+        if self._sharding is not None:
+            return [jax.device_put(p, self._sharding) for p in pieces]
+        return pieces
+
+    @staticmethod
+    def _start_fetch(tree):
+        """Enqueue async device->host copies for every leaf (the D2H stream
+        then overlaps both later chunks' compute and host-side coding)."""
+        jax.tree.map(lambda t: t.copy_to_host_async(), tree)
+        return tree
+
+    def _chunked(self, name, *arrays, scalars=()):
+        """Run a jitted stage over the batch in fixed-size padded chunks.
+        All chunks are dispatched before any fetch, with async D2H copies
+        enqueued up front, so downloads overlap device compute."""
         fn = self._jitted(name)
         b = arrays[0].shape[0]
-        chunk = self.chunk
-        pad = (-b) % chunk
-        padded = []
-        for a in arrays:
-            a = np.asarray(a)
-            if pad:
-                a = np.concatenate(
-                    [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-            padded.append(a)
+        arrays = [np.asarray(a) for a in arrays]
         futs = []
-        for i in range(0, b + pad, chunk):
-            pieces = [p[i:i + chunk] for p in padded]
-            futs.append(fn(self.params, *pieces, *scalars))
+        for _, pieces in self._iter_chunks(arrays):
+            futs.append(self._start_fetch(
+                fn(self.params, *self._put(pieces), *scalars)))
         outs = [jax.device_get(f) for f in futs]
         out = _tree_concat(outs)
         return jax.tree.map(lambda a: a[:b], out)
@@ -300,7 +353,7 @@ class PointCloudCodec:
 
         Reference: transform.py:24-56.
         """
-        x8 = (np.asarray(cubes) > 0.5).astype(np.uint8)
+        x8 = _occupancy_u8(cubes)
         values = self._chunked("analysis_q", x8).astype(np.int32)
         strings, min_v, max_v = self._encode_factorized_stream(values)
         return strings, min_v, max_v, values.shape
@@ -316,9 +369,8 @@ class PointCloudCodec:
         device; downloads 1 bit per voxel instead of 4 bytes)."""
         ys = self._decode_factorized_stream(strings, min_v, max_v, shape)
         nums = np.asarray(points_numbers, np.int32)
-        packed = self._chunked_scalar(
-            "classify", [ys.astype(np.int8), nums],
-            [jnp.float32(rho)])
+        packed = self._chunked("classify", ys.astype(np.int8), nums,
+                               scalars=(jnp.float32(rho),))
         return np.unpackbits(packed, axis=-1)
 
     # ----------------------------------------------------------------- hyper
@@ -329,80 +381,219 @@ class PointCloudCodec:
         (the caller owns side info), plus optionally the encoder-side
         reconstruction logits.
         """
-        x8 = (np.asarray(cubes) > 0.5).astype(np.uint8)
+        if self.coder == "device":
+            return self._compress_hyper_device(cubes, return_recon)
+        x8 = _occupancy_u8(cubes)
         # per-chunk pipeline: prior(zhat) consumes the device-resident
         # zhat of analysis_hyper directly (no host round trip); all chunk
-        # programs are dispatched before any fetch, so downloads overlap
-        # device compute. prior() sees the same int8 inputs the decoder
-        # uploads, and it is the same compiled program (contract above).
+        # programs are dispatched before any fetch with async D2H copies,
+        # and the host range-codes chunk i's y while chunk i+1 is still in
+        # flight (compute + transfer + host coding all overlap). prior()
+        # sees the same int8 inputs the decoder uploads, and it is the same
+        # compiled program (contract above).
         ana = self._jitted("analysis_hyper")
         prior = self._jitted("prior")
         b = x8.shape[0]
-        pad = (-b) % self.chunk
-        if pad:
-            x8p = np.concatenate(
-                [x8, np.zeros((pad,) + x8.shape[1:], x8.dtype)], axis=0)
-        else:
-            x8p = x8
         futs = []
-        for i in range(0, b + pad, self.chunk):
-            piece = x8p[i:i + self.chunk]
-            if self._sharding is not None:
-                piece = jax.device_put(piece, self._sharding)
-            yv, zh = ana(self.params, piece)
+        for i, (piece,) in self._iter_chunks([x8]):
+            yv, zh = ana(self.params, *self._put([piece]))
             lq, sq = prior(self.params, zh)
-            futs.append((yv, zh, lq, sq))
-        got = [jax.device_get(f) for f in futs]
-        y_val, zhat, loc_q, scale_q = jax.tree.map(
-            lambda a: a[:b], _tree_concat(got))
+            futs.append((i,) + self._start_fetch((yv, zh, lq, sq)))
 
+        y_strings = []
+        y_min_parts, y_max_parts = [], []
+        y_chunks, z_parts = [], []
+        y_shape = None
+        for i, yv, zh, lq, sq in futs:
+            n = min(self.chunk, b - i)
+            yv = np.asarray(yv)[:n]
+            y_shape = (1,) + yv.shape[1:]
+            y32 = yv.reshape(n, -1).astype(np.int32)
+            z_parts.append(np.asarray(zh)[:n])
+            mn = y32.min(axis=1)
+            mx = y32.max(axis=1)
+            y_strings += native.laplace_q_encode_batch(
+                y32, np.asarray(lq)[:n].reshape(n, -1),
+                np.asarray(sq)[:n].reshape(n, -1), mn, mx)
+            y_min_parts.append(mn)
+            y_max_parts.append(mx)
+            if return_recon:
+                y_chunks.append(yv)
+
+        zhat = np.concatenate(z_parts, axis=0)
         z_strings, z_min, z_max = self._encode_factorized_stream(
             zhat.astype(np.int32))
 
-        y32 = y_val.astype(np.int32)
-        b = y32.shape[0]
-        y_min_vs = y32.reshape(b, -1).min(axis=1)
-        y_max_vs = y32.reshape(b, -1).max(axis=1)
-        y_strings = native.laplace_q_encode_batch(
-            y32.reshape(b, -1), loc_q.reshape(b, -1),
-            scale_q.reshape(b, -1), y_min_vs, y_max_vs)
-
         hs = bitstream.HyperStreams(
             y_strings=y_strings,
-            y_min_vs=y_min_vs, y_max_vs=y_max_vs,
-            y_shape=(1,) + y_val.shape[1:],
+            y_min_vs=np.concatenate(y_min_parts),
+            y_max_vs=np.concatenate(y_max_parts),
+            y_shape=y_shape,
             z_strings=z_strings, z_min_v=z_min, z_max_v=z_max,
             z_shape=zhat.shape,
             points_numbers=None, cube_positions=None)
         if return_recon:
-            recon = self._chunked("synthesis", y_val)
+            recon = self._chunked("synthesis",
+                                  np.concatenate(y_chunks, axis=0))
             return hs, recon
         return hs
 
-    def _decode_hyper_latents(self, hs: bitstream.HyperStreams):
+    def _compress_hyper_device(self, cubes, return_recon=False):
+        """Hyper encode with on-device rANS entropy coding.
+
+        Only zhat (for the host-coded z stream) and the compressed words
+        cross the device->host link; y and the per-element prior codes stay
+        device-resident end to end. ~5x less downlink than the host coder.
+        """
+        x8 = _occupancy_u8(cubes)
+        ana = self._jitted("analysis_hyper")
+        prior = self._jitted("prior")
+        b = x8.shape[0]
+        elems = int(np.prod(self._y_spatial))
+        cap0 = max(elems // 8, 2 * self.lanes)
+        enc = self._jitted(f"rans_encode:{cap0}:{self.lanes}")
+        futs = []
+        for i, (piece,) in self._iter_chunks([x8]):
+            yv, zh = ana(self.params, *self._put([piece]))
+            lq, sq = prior(self.params, zh)
+            coded = enc(self.params, yv, lq, sq)
+            futs.append((i, yv, lq, sq,
+                         self._start_fetch((zh,) + coded)))
+
+        y_strings, z_parts, recon_futs = [], [], []
+        for i, yv, lq, sq, (zh, words, counts, states) in futs:
+            n = min(self.chunk, b - i)
+            cnts = np.asarray(counts)
+            if int(cnts[:n].max(initial=0)) > cap0:
+                # rare: surprising latents overflowed the default word
+                # buffer; re-dispatch this chunk at worst-case capacity
+                # (the inputs are still device-resident)
+                enc_full = self._jitted(f"rans_encode:{elems}:{self.lanes}")
+                words, counts, states = self._start_fetch(
+                    enc_full(self.params, yv, lq, sq))
+                cnts = np.asarray(counts)
+            y_strings += rans.pack_streams(
+                np.asarray(words)[:n], cnts[:n], np.asarray(states)[:n])
+            z_parts.append(np.asarray(zh)[:n])
+            if return_recon:
+                recon_futs.append(self._start_fetch(
+                    self._jitted("synthesis")(self.params, yv)))
+
+        zhat = np.concatenate(z_parts, axis=0)
+        z_strings, z_min, z_max = self._encode_factorized_stream(
+            zhat.astype(np.int32))
+        hs = bitstream.HyperStreams(
+            y_strings=y_strings,
+            y_min_vs=np.zeros(b, np.int32),
+            y_max_vs=np.zeros(b, np.int32),
+            y_shape=(1,) + self._y_spatial,
+            z_strings=z_strings, z_min_v=z_min, z_max_v=z_max,
+            z_shape=zhat.shape, points_numbers=None, cube_positions=None,
+            coder="device", lanes=self.lanes)
+        if return_recon:
+            recon = _tree_concat(
+                [jax.device_get(f) for f in recon_futs])[:b]
+            return hs, recon
+        return hs
+
+    def _decode_hyper_device(self, hs: bitstream.HyperStreams, final,
+                             extra_arrays=(), scalars=()):
+        """Decode device-coded streams: upload words, run prior + fused
+        rANS-decode->synthesis[->classify] on device; only the final logits
+        or bit-packed masks come back."""
         zhat = self._decode_factorized_stream(
             hs.z_strings, hs.z_min_v, hs.z_max_v, hs.z_shape)
-        loc_q, scale_q = self._chunked("prior", zhat.astype(np.int8))
+        b = zhat.shape[0]
+        lanes = int(hs.lanes)
+        elems = int(np.prod(hs.y_shape))
+        head = 4 * lanes
+        maxw = max((max(len(s) for s in hs.y_strings) - head) // 2, 1)
+        capd = min(1 << max(9, int(np.ceil(np.log2(maxw)))), elems)
+        words_all, states_all = rans.unpack_streams(
+            hs.y_strings, lanes, capd)
+        prior = self._jitted("prior")
+        fin = self._jitted(f"rans_{final}:{capd}:{lanes}")
+        extra_arrays = [np.asarray(a) for a in extra_arrays]
+
+        futs = []
+        for i, pieces in self._iter_chunks(
+                [zhat.astype(np.int8), words_all, states_all]
+                + extra_arrays):
+            zp, wp, sp, *ex = pieces
+            lq, sq = prior(self.params, *self._put([zp]))
+            out = fin(self.params, jnp.asarray(wp), jnp.asarray(sp),
+                      lq, sq, *ex, *scalars)
+            futs.append(self._start_fetch(out))
+        out = _tree_concat([jax.device_get(f) for f in futs])
+        return jax.tree.map(lambda a: a[:b], out)
+
+    def _decode_hyper_pipeline(self, hs: bitstream.HyperStreams, final,
+                               extra_arrays=(), scalars=()):
+        """Three-stage overlapped decode: prior chunks are dispatched up
+        front with async D2H copies; as each chunk's (loc_q, scale_q) codes
+        land, the host range-decodes that chunk's y strings and immediately
+        dispatches the ``final`` device stage ("synthesis" or "classify")
+        for it — so host arithmetic decoding runs under later chunks' prior
+        downloads, and the final stage's compute/downloads run under both.
+        """
+        zhat = self._decode_factorized_stream(
+            hs.z_strings, hs.z_min_v, hs.z_max_v, hs.z_shape)
+        prior = self._jitted("prior")
+        fin = self._jitted(final)
         b = zhat.shape[0]
         elems = int(np.prod(hs.y_shape))
-        y_vals = native.laplace_q_decode_batch(
-            hs.y_strings, elems, loc_q.reshape(b, -1),
-            scale_q.reshape(b, -1), np.asarray(hs.y_min_vs, np.int32),
-            np.asarray(hs.y_max_vs, np.int32))
-        return y_vals.reshape((b,) + tuple(hs.y_shape[1:])).astype(np.int8)
+        y_spatial = tuple(hs.y_shape[1:])
+        min_vs = np.asarray(hs.y_min_vs, np.int32)
+        max_vs = np.asarray(hs.y_max_vs, np.int32)
+        extra_arrays = [np.asarray(a) for a in extra_arrays]
+
+        pfuts = []
+        for i, (zp,) in self._iter_chunks([zhat.astype(np.int8)]):
+            pfuts.append((i, self._start_fetch(
+                prior(self.params, *self._put([zp])))))
+
+        ofuts = []
+        for i, (lq, sq) in pfuts:
+            n = min(self.chunk, b - i)
+            y_vals = native.laplace_q_decode_batch(
+                hs.y_strings[i:i + n], elems,
+                np.asarray(lq)[:n].reshape(n, -1),
+                np.asarray(sq)[:n].reshape(n, -1),
+                min_vs[i:i + n], max_vs[i:i + n])
+            y8 = y_vals.reshape((n,) + y_spatial).astype(np.int8)
+            pieces = [y8] + [a[i:i + n] for a in extra_arrays]
+            if n < self.chunk:
+                pieces = [np.concatenate(
+                    [p, np.zeros((self.chunk - n,) + p.shape[1:], p.dtype)],
+                    axis=0) for p in pieces]
+            ofuts.append(self._start_fetch(
+                fin(self.params, *self._put(pieces), *scalars)))
+
+        out = _tree_concat([jax.device_get(f) for f in ofuts])
+        return jax.tree.map(lambda a: a[:b], out)
 
     def decompress_hyper(self, hs: bitstream.HyperStreams):
-        """Reference: transform.py:200-259. Returns logits."""
-        y8 = self._decode_hyper_latents(hs)
-        return self._chunked("synthesis", y8)
+        """Reference: transform.py:200-259. Returns logits.
+
+        The stream itself says which entropy coder produced it; decode
+        dispatches on that tag, not on this codec's ``coder`` setting.
+        """
+        if getattr(hs, "coder", "host") == "device":
+            return self._decode_hyper_device(hs, "synthesis")
+        return self._decode_hyper_pipeline(hs, "synthesis")
 
     def decompress_hyper_masks(self, hs: bitstream.HyperStreams,
                                points_numbers=None, rho=1.0):
         """Decode directly to uint8 occupancy masks (device top-k,
         bit-packed download)."""
-        y8 = self._decode_hyper_latents(hs)
         nums = np.asarray(points_numbers if points_numbers is not None
                           else hs.points_numbers, np.int32)
-        packed = self._chunked_scalar("classify", [y8, nums],
-                                      [jnp.float32(rho)])
+        if getattr(hs, "coder", "host") == "device":
+            packed = self._decode_hyper_device(
+                hs, "classify", extra_arrays=[nums],
+                scalars=(jnp.float32(rho),))
+        else:
+            packed = self._decode_hyper_pipeline(
+                hs, "classify", extra_arrays=[nums],
+                scalars=(jnp.float32(rho),))
         return np.unpackbits(packed, axis=-1)

@@ -171,3 +171,56 @@ def test_mask_path_equals_logits_path(pre):
     logits = codec.decompress_hyper(hs)
     masks_ref = select_voxels(logits, nums, rho=1.0)
     assert np.array_equal(masks_fast.astype(np.float32), masks_ref)
+
+
+class TestDeviceCoder:
+    """On-device rANS y-coding (coder='device'): container round trip,
+    cross-coder decode dispatch, and overflow fallback."""
+
+    def test_roundtrip_and_container(self, pre, tmp_path):
+        codec = _codec("hyper", coder="device", lanes=8)
+        hs = codec.compress_hyper(pre.cubes)
+        assert hs.coder == "device" and hs.lanes == 8
+        hs.points_numbers = pre.points_numbers
+        hs.cube_positions = pre.cube_positions
+        bitstream.write_hyper("dev", hs, rootdir=str(tmp_path))
+        hs2 = bitstream.read_hyper("dev", rootdir=str(tmp_path))
+        assert hs2.coder == "device" and hs2.lanes == 8
+        assert [len(s) for s in hs2.y_strings] == \
+            [len(s) for s in hs.y_strings]
+        masks = codec.decompress_hyper_masks(hs2, pre.points_numbers, 1.0)
+        assert masks.shape == (pre.cubes.shape[0], CS, CS, CS)
+        # decode path must equal the logits path exactly (same latents)
+        logits = codec.decompress_hyper(hs2)
+        from pcgcv1_tpu.ops import select_voxels
+        ref = select_voxels(logits, pre.points_numbers, rho=1.0)
+        assert np.array_equal(masks.astype(np.float32), ref)
+
+    def test_device_and_host_coders_same_latents(self, pre):
+        """Both coders must reconstruct identical logits: the entropy
+        coder changes the wire format, never the data."""
+        dev = _codec("hyper", coder="device", lanes=8)
+        host = _codec("hyper", coder="host")
+        host.params = dev.params  # same weights
+        hs_d = dev.compress_hyper(pre.cubes)
+        hs_h = host.compress_hyper(pre.cubes)
+        ld = dev.decompress_hyper(hs_d)
+        lh = host.decompress_hyper(hs_h)
+        np.testing.assert_array_equal(ld, lh)
+
+    def test_decode_dispatches_on_stream_tag(self, pre):
+        """A codec configured coder='host' must still decode device
+        streams (the tag travels in the container)."""
+        dev = _codec("hyper", coder="device", lanes=8)
+        host = _codec("hyper", coder="host")
+        host.params = dev.params
+        hs = dev.compress_hyper(pre.cubes)
+        masks = host.decompress_hyper_masks(hs, pre.points_numbers, 1.0)
+        ref = dev.decompress_hyper_masks(hs, pre.points_numbers, 1.0)
+        assert np.array_equal(masks, ref)
+
+    def test_recon_path(self, pre):
+        codec = _codec("hyper", coder="device", lanes=8)
+        hs, recon = codec.compress_hyper(pre.cubes, return_recon=True)
+        logits = codec.decompress_hyper(hs)
+        np.testing.assert_array_equal(recon, logits)

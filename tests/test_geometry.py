@@ -136,7 +136,7 @@ def test_pipeline_lossless_roundtrip(tmp_path, cloud, scale):
     ply.write_ply(f, cloud)
     pre = pipeline.preprocess(f, scale=scale, cube_size=64, min_num=1)
     # identity "decoded" logits: occupancy 1.0 -> logit>0, empty -> <0
-    logits = pre.cubes * 10.0 - 5.0
+    logits = pre.cubes.astype(np.float32) * 10.0 - 5.0
     out = pipeline.postprocess_points(
         logits, pre.points_numbers, pre.cube_positions, scale=scale,
         cube_size=64, rho=1.0)

@@ -60,7 +60,7 @@ def test_identity_codec_lossless_at_scale(sparse_highres_cloud):
     pts = sparse_highres_cloud
     pre = pipeline.preprocess_points(pts, scale=0.5, cube_size=32,
                                      min_num=1)
-    logits = pre.cubes * 8 - 4
+    logits = pre.cubes.astype(np.float32) * 8 - 4
     out = pipeline.postprocess_points(
         logits, pre.points_numbers, pre.cube_positions, scale=0.5,
         cube_size=32)
