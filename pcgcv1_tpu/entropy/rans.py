@@ -53,17 +53,44 @@ DEFAULT_LANES = 32
 
 # log2(e) * 2^20 * 2^(-qf/8), qf in [0,8) — folds the fractional octave of
 # the scale code into the Q20 multiplier (v = |8d| * M >> (3 + qi) is then
-# |d|/scale * log2(e) in fixed point).
+# |d|/scale * log2(e) in fixed point). Selected with a where-tree, not a
+# gather: dynamic gathers serialize on the TPU VPU and dominated the scan
+# cost in the first implementation.
 _M_TABLE = np.round(
     np.log2(np.e) * (2.0 ** 20) * 2.0 ** (-np.arange(8) / 8.0)
 ).astype(np.uint32)
 
-# 2^16 * 2^(-f/256), f in [0,256): one-byte-mantissa exp2. Strictly
-# decreasing, and T[255] = 32857 > 65536>>1, so 2^-v stays monotone across
-# integer-exponent boundaries.
-_EXP2_TABLE = np.round(
-    (2.0 ** 16) * 2.0 ** (-np.arange(256) / 256.0)
-).astype(np.uint32)
+# Integer cubic for the exp2 fraction: w(f8) = 65536 - (f8*(C1 - f8*(C2 -
+# f8*C3 >> 8) >> 8) >> 8) approximates 2^16 * 2^(-f8/256) within +-5,
+# monotone non-increasing, and w(255) = 32858 > 2^15 so 2^-v stays monotone
+# across integer-exponent boundaries. These constants DEFINE the stream
+# format (they are the code table); do not retune without a format bump.
+_EXP2_C1 = 45330
+_EXP2_C2 = 15155
+_EXP2_C3 = 2593
+
+
+def _exp2_frac_q16(f8):
+    """2^16 * 2^(-f8/256) for f8 in [0,256), pure uint32 VPU arithmetic."""
+    f8 = f8.astype(jnp.uint32)
+    q = (jnp.uint32(_EXP2_C3) * f8) >> 8
+    q = ((jnp.uint32(_EXP2_C2) - q) * f8) >> 8
+    q = ((jnp.uint32(_EXP2_C1) - q) * f8) >> 8
+    return jnp.uint32(65536) - q
+
+
+def _m_q20(qf):
+    """_M_TABLE[qf] as a 3-level select tree (no gather)."""
+    m = _M_TABLE
+    b0 = (qf & 1).astype(bool)
+    m01 = jnp.where(b0, jnp.uint32(m[1]), jnp.uint32(m[0]))
+    m23 = jnp.where(b0, jnp.uint32(m[3]), jnp.uint32(m[2]))
+    m45 = jnp.where(b0, jnp.uint32(m[5]), jnp.uint32(m[4]))
+    m67 = jnp.where(b0, jnp.uint32(m[7]), jnp.uint32(m[6]))
+    b1 = (qf & 2).astype(bool)
+    lo = jnp.where(b1, m23, m01)
+    hi = jnp.where(b1, m67, m45)
+    return jnp.where((qf & 4).astype(bool), hi, lo)
 
 
 def _laplace_cdf_q16(u, loc_q, scale_q):
@@ -77,15 +104,14 @@ def _laplace_cdf_q16(u, loc_q, scale_q):
     a = jnp.abs(td).astype(jnp.uint32)      # <= 1155
     qi = (scale_q >> 3).astype(jnp.uint32)  # integer octaves
     qf = scale_q & 7
-    v = a * jnp.take(jnp.asarray(_M_TABLE), qf)   # < 2^31
+    v = a * _m_q20(qf)                       # < 2^31
     sh = qi + 3                              # binary point of v
     vi = jnp.where(sh <= 31, v >> jnp.minimum(sh, jnp.uint32(31)), 0)
     rs = jnp.clip(sh.astype(jnp.int32) - 8, 0, 31).astype(jnp.uint32)
     ls = jnp.clip(8 - sh.astype(jnp.int32), 0, 8).astype(jnp.uint32)
     f8 = jnp.where(sh >= 8, (v >> rs) & 255, (v << ls) & 255)
     w = jnp.where(vi <= 30,
-                  jnp.take(jnp.asarray(_EXP2_TABLE), f8)
-                  >> jnp.minimum(vi, jnp.uint32(30)),
+                  _exp2_frac_q16(f8) >> jnp.minimum(vi, jnp.uint32(30)),
                   0)                          # 2^16 * e^(-|d|/scale)
     half = w >> 1
     return jnp.where(neg, half, jnp.uint32(TOTAL) - half)
@@ -186,6 +212,8 @@ def rans_decode(words, states, loc_q, scale_q, lanes=DEFAULT_LANES):
         ll, ss = inp
         dv = x & jnp.uint32(0xFFFF)
         # largest u with qcdf(u) <= dv: branch-free bisection over 256 bins
+        # (each eval is pure VPU arithmetic — no gathers — so 10 evals per
+        # symbol stay cheap)
         lo = jnp.zeros(x.shape, jnp.int32)
         for bit in (128, 64, 32, 16, 8, 4, 2, 1):
             mid = lo + bit

@@ -29,7 +29,11 @@ def _np_qcdf(u, loc_q, sq):
     ls = np.clip(8 - sh, 0, 8).astype(np.uint64)
     vi = np.where(sh <= 31, v >> np.minimum(sh, 31).astype(np.uint64), 0)
     f8 = np.where(sh >= 8, (v >> rs) & 255, (v << ls) & 255)
-    w = np.where(vi <= 30, rans._EXP2_TABLE[f8] >> np.minimum(vi, 30), 0)
+    q = (rans._EXP2_C3 * f8) >> 8
+    q = ((rans._EXP2_C2 - q) * f8) >> 8
+    q = ((rans._EXP2_C1 - q) * f8) >> 8
+    exp2 = 65536 - q
+    w = np.where(vi <= 30, exp2 >> np.minimum(vi, 30), 0)
     half = w >> 1
     f16 = np.where(td < 0, half, 65536 - half)
     g = ((f16 * np.uint64(65536 - 256)) >> 16) + uc
