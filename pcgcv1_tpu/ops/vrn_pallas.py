@@ -1,0 +1,329 @@
+"""Pallas TPU kernels for the VoxceptionResNet block.
+
+The reference evaluates VRN blocks (model_voxception.py:11-68 in
+NJUVISION/PCGCv1) as five separate cuDNN 3D convolutions per block. XLA's
+TPU lowering of small-channel 3D convolutions (C in {4,8,16}) runs at a few
+percent of the MXU peak: with C channels only C of the 128 MXU lanes carry
+useful data, and the conv itself is memory-scheduled per tap. These kernels
+reformulate each conv as **block-Toeplitz matmuls**:
+
+    out[z, y, x*Co + co] = sum_dz sum_dy  X[z+dz][y+dy, :] @ T[dz, dy]
+
+where X planes are stored with fused (x, channel) lanes ([rows=y,
+lanes=x*C]) and T[dz, dy] = sum_dx kron(S_dx, W[dz, dy, dx]) is a banded
+[W_in*Ci, W_out*Co] matrix built once from the conv weights (S_dx is the
+x-shift indicator). Every op in the kernel is a static row slice, an MXU
+`jnp.dot`, or a VPU elementwise — no gathers, no vector reshapes (Mosaic
+rejects lane<->sublane shape casts).
+
+Two kernels per VRN block:
+
+- **stage A** (`_vrn_a_kernel`): x -> t1a = relu(conv1_1(x)), t2a =
+  relu(conv2_1(x)); both on the +-1-extended grid the second 3^3 convs
+  need. Input x is zero-padded by 2 and DMA'd in overlapping z-slabs.
+- **stage B** (`_vrn_b_kernel`): (t1a, t2a, x) -> relu(x + concat(p1, p2))
+  with p1 = relu(conv1_2(t1a)), p2 = relu(conv2_3(relu(conv2_2(t2a)))).
+  The channel concat never materializes: T12/T23 columns are zero-embedded
+  into the full x*C lane layout so both paths accumulate into the same
+  [y, x*C] tile.
+
+Numerics: tables and activations are bfloat16, accumulation float32
+(preferred_element_type) — the same contract as the flax modules with
+dtype=bfloat16. Exactness vs. the flax block is verified in
+tests/test_vrn_pallas.py at float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ------------------------------ table building ------------------------------
+
+def _align(n, m):
+    return -(-n // m) * m
+
+
+def _shift_eye(n_in, n_out, offset):
+    """S[o + offset, o] = 1 — x-shift indicator [n_in, n_out]."""
+    s = np.zeros((n_in, n_out), np.float32)
+    o = np.arange(n_out)
+    s[o + offset, o] = 1.0
+    return s
+
+
+def _band(kernel3, w_in, w_out, dz, dy, col_pad=None, col_off=0):
+    """T[dz, dy] = sum_dx kron(S_dx, W[dz, dy, dx]) -> [w_in*Ci, w_out*Co'].
+
+    kernel3: [3, 3, 3, Ci, Co] conv weights (DHWIO).
+    col_pad/col_off: embed the Co output columns into a larger per-x block
+    of col_pad channels starting at col_off (for concat-free path fusion).
+    """
+    ci, co = kernel3.shape[3], kernel3.shape[4]
+    cop = col_pad or co
+    blocks = []
+    for dx in range(3):
+        w = kernel3[dz, dy, dx]                      # [Ci, Co]
+        if cop != co or col_off:
+            w = jnp.pad(w, ((0, 0), (col_off, cop - co - col_off)))
+        s = jnp.asarray(_shift_eye(w_in, w_out, dx))
+        blocks.append(jnp.kron(s, w))
+    return sum(blocks)
+
+
+def build_vrn_tables(params, width, dtype=jnp.bfloat16):
+    """Pack one flax VRNBlock's params into banded matmul tables.
+
+    Args:
+      params: the VRNBlock param subtree ({conv1_1: {kernel, bias}, ...});
+        kernels are [3,3,3,Ci,Co] (flax DHWIO), C = conv1_1's Ci.
+      width: spatial extent W of the (cubic) feature map this block runs at.
+
+    Returns a dict of device arrays consumed by vrn_block_pallas.
+    """
+    c = params["conv1_1"]["kernel"].shape[3]
+    c4, c2 = c // 4, c // 2
+    w_pad, w_ext = width + 4, width + 2
+
+    k11 = jnp.asarray(params["conv1_1"]["kernel"], jnp.float32)
+    k12 = jnp.asarray(params["conv1_2"]["kernel"], jnp.float32)
+    k21 = jnp.asarray(params["conv2_1"]["kernel"], jnp.float32)
+    k22 = jnp.asarray(params["conv2_2"]["kernel"], jnp.float32)
+    k23 = jnp.asarray(params["conv2_3"]["kernel"], jnp.float32)
+
+    # aligned geometries: manually-DMA'd arrays must have tile-aligned
+    # (8, 128) trailing dims, so tables map padded-lane inputs to
+    # padded-lane outputs with zero rows/columns in the padding
+    la_in = _align(w_pad * c, 128)       # x-fused input lanes
+    la_ext = _align(w_ext * (c // 4), 128)   # extended-grid path lanes
+
+    def pad_t(t, rows, cols):
+        return jnp.pad(t, ((0, rows - t.shape[0]), (0, cols - t.shape[1])))
+
+    t11 = jnp.stack([jnp.stack(
+        [pad_t(_band(k11, w_pad, w_ext, dz, dy), la_in, la_ext)
+         for dy in range(3)]) for dz in range(3)])
+    # conv2_1 is 1x1x1: a single block-diagonal table, center-aligned
+    w21 = k21[0, 0, 0]
+    t21 = pad_t(jnp.kron(jnp.asarray(_shift_eye(w_pad, w_ext, 1)), w21),
+                la_in, la_ext)
+    # path outputs embed into the x*C lane layout: p1 -> channels [0, C/2),
+    # p2 -> channels [C/2, C) (the reference concatenates path1 then path2)
+    t12 = jnp.stack([jnp.stack(
+        [pad_t(_band(k12, w_ext, width, dz, dy, col_pad=c, col_off=0),
+               la_ext, width * c)
+         for dy in range(3)]) for dz in range(3)])
+    t22 = jnp.stack([jnp.stack(
+        [pad_t(_band(k22, w_ext, width, dz, dy), la_ext, width * (c // 4))
+         for dy in range(3)]) for dz in range(3)])
+    w23 = jnp.pad(k23[0, 0, 0], ((0, 0), (0, 0)))    # [C/4, C/2]
+    w23e = jnp.pad(w23, ((0, 0), (c2, 0)))           # embed at offset C/2
+    t23 = jnp.kron(jnp.eye(width, dtype=jnp.float32), w23e)
+
+    def tile_bias(b, w, pad_to=None, off=0, lanes=None):
+        b = jnp.asarray(b, jnp.float32)
+        if pad_to:
+            b = jnp.pad(b, (off, pad_to - b.shape[0] - off))
+        t = jnp.tile(b, w)
+        if lanes:
+            t = jnp.pad(t, (0, lanes - t.shape[0]))
+        return t[None, :]
+
+    return {
+        "c": c, "width": width,
+        "t11": t11.astype(dtype), "t21": t21.astype(dtype),
+        "t12": t12.astype(dtype), "t22": t22.astype(dtype),
+        "t23": t23.astype(dtype),
+        "b11": tile_bias(params["conv1_1"]["bias"], w_ext, lanes=la_ext),
+        "b21": tile_bias(params["conv2_1"]["bias"], w_ext, lanes=la_ext),
+        "b12": tile_bias(params["conv1_2"]["bias"], width, pad_to=c, off=0),
+        "b22": tile_bias(params["conv2_2"]["bias"], width),
+        "b23": tile_bias(params["conv2_3"]["bias"], width, pad_to=c,
+                         off=c2),
+    }
+
+
+# --------------------------------- kernels ----------------------------------
+
+def _vrn_a_kernel(xp_hbm, t11, t21, b11, b21, t1a_out, t2a_out,
+                  xslab, sem, *, tz, w_ext, c, ya_ext, la_ext):
+    """Grid (B, (W+2)//tz): extended-plane t in [i*tz, i*tz+tz).
+
+    t-plane t corresponds to z = t-1; conv taps need padded-x z-planes
+    zp = t + dz, so the slab DMA covers [i*tz, i*tz + tz + 2).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(i * tz, tz + 2)], xslab, sem)
+    cp.start()
+    cp.wait()
+    f32 = jnp.float32
+    # The flax block chains SAME convs, so the INTERMEDIATE activations are
+    # zero at the +-1 ring the second conv reads (zero padding of t1/t2,
+    # not of x). Mask the ring: rows/lane-blocks 0 and w_ext-1, and the
+    # first/last extended z-planes.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ya_ext, 1), 0)
+    row_ok = ((rows > 0) & (rows < w_ext - 1)).astype(f32)
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (1, la_ext), 1) // (c // 4)
+    lane_ok = ((lanes > 0) & (lanes < w_ext - 1)).astype(f32)
+    ring = row_ok * lane_ok
+    for tt in range(tz):
+        t_glob = i * tz + tt
+        z_ok = jnp.where((t_glob > 0) & (t_glob < w_ext - 1), 1.0, 0.0)
+        mask = ring * z_ok
+        acc = jnp.zeros((ya_ext, la_ext), f32)
+        for dz in range(3):
+            plane = xslab[tt + dz]
+            for dy in range(3):
+                acc += jnp.dot(plane[dy:dy + ya_ext, :], t11[dz, dy, :, :],
+                               preferred_element_type=f32)
+        t1a_out[0, tt] = (jnp.maximum(acc + b11[:], 0.0) * mask).astype(
+            t1a_out.dtype)
+        ctr = xslab[tt + 1]
+        t2 = jnp.dot(ctr[1:1 + ya_ext, :], t21[:, :],
+                     preferred_element_type=f32)
+        t2a_out[0, tt] = (jnp.maximum(t2 + b21[:], 0.0) * mask).astype(
+            t2a_out.dtype)
+
+
+def _vrn_b_kernel(t1a_hbm, t2a_hbm, x_in, t12, t22, t23, b12, b22, b23,
+                  out, t1slab, t2slab, sems, *, tz, width, c):
+    """Grid (B, W//tz): output plane z in [i*tz, i*tz+tz); needs extended
+    planes t = z + dz in [i*tz, i*tz + tz + 2)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    cp1 = pltpu.make_async_copy(
+        t1a_hbm.at[b, pl.ds(i * tz, tz + 2)], t1slab, sems.at[0])
+    cp2 = pltpu.make_async_copy(
+        t2a_hbm.at[b, pl.ds(i * tz, tz + 2)], t2slab, sems.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+    f32 = jnp.float32
+    for zz in range(tz):
+        p1 = jnp.zeros((width, width * c), f32)
+        p2 = jnp.zeros((width, width * (c // 4)), f32)
+        for dz in range(3):
+            pl1 = t1slab[zz + dz]
+            pl2 = t2slab[zz + dz]
+            for dy in range(3):
+                p1 += jnp.dot(pl1[dy:dy + width, :], t12[dz, dy, :, :],
+                              preferred_element_type=f32)
+                p2 += jnp.dot(pl2[dy:dy + width, :], t22[dz, dy, :, :],
+                              preferred_element_type=f32)
+        # p1 lanes are already embedded at channel offset 0 of each x block
+        p1 = jnp.maximum(p1 + b12[:], 0.0)
+        t2b = jnp.maximum(p2 + b22[:], 0.0).astype(t1slab.dtype)
+        p2e = jnp.maximum(
+            jnp.dot(t2b, t23[:, :], preferred_element_type=f32) + b23[:], 0.0)
+        x = x_in[0, zz].astype(f32)
+        out[0, zz] = jnp.maximum(x + p1 + p2e, 0.0).astype(out.dtype)
+
+
+# ------------------------------- host wrapper --------------------------------
+
+def _divisor_near(n, target):
+    for d in range(target, 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def vrn_block_pallas(x, tables, interpret=False):
+    """Apply one VRN block: x [B, W, W, W, C] -> same shape.
+
+    Matches flax VRNBlock (models/voxception.py) with dtype bfloat16:
+    bf16 activations/tables, f32 accumulation. Call inside jit with
+    ``tables`` closed over (its "c"/"width" entries are static python ints).
+    """
+    c = tables["c"]
+    width = tables["width"]
+    bsz = x.shape[0]
+    w_ext, w_pad = width + 2, width + 4
+    dtype = tables["t11"].dtype
+    tz_a = _divisor_near(w_ext, 8)   # (W+2) % tz_a == 0
+    tz_b = _divisor_near(width, 8)
+
+    # aligned padded geometry (tile-aligned trailing dims for the
+    # manually-DMA'd arrays; junk regions are zero and ring-masked)
+    la_in = _align(w_pad * c, 128)
+    la_ext = _align(w_ext * (c // 4), 128)
+    ya_ext = _align(w_ext, 8)
+    y_in = _align(ya_ext + 2, 8)
+
+    xr = x.astype(dtype).reshape(bsz, width, width, width * c)
+    xp = jnp.pad(xr, ((0, 0), (2, 2), (2, y_in - width - 2),
+                      (2 * c, la_in - width * c - 2 * c)))
+
+    t1a, t2a = pl.pallas_call(
+        functools.partial(_vrn_a_kernel, tz=tz_a, w_ext=w_ext, c=c,
+                          ya_ext=ya_ext, la_ext=la_ext),
+        grid=(bsz, w_ext // tz_a),
+        in_specs=[
+            # halo-DMA source: must stay in (untiled) HBM — Mosaic cannot
+            # slice a VMEM-tiled memref at non-tile-aligned shapes
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tz_a, ya_ext, la_ext),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tz_a, ya_ext, la_ext),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, w_ext, ya_ext, la_ext), dtype),
+            jax.ShapeDtypeStruct((bsz, w_ext, ya_ext, la_ext), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tz_a + 2, y_in, la_in), dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, tables["t11"], tables["t21"], tables["b11"], tables["b21"])
+
+    out = pl.pallas_call(
+        functools.partial(_vrn_b_kernel, tz=tz_b, width=width, c=c),
+        grid=(bsz, width // tz_b),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, tz_b, width, width * c),
+                         lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tz_b, width, width * c),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, width, width, width * c),
+                                       dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tz_b + 2, ya_ext, la_ext), dtype),
+            pltpu.VMEM((tz_b + 2, ya_ext, la_ext), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(t1a, t2a, xr, tables["t12"], tables["t22"], tables["t23"],
+      tables["b12"], tables["b22"], tables["b23"])
+
+    return out.reshape(bsz, width, width, width, c).astype(jnp.float32)
