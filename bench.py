@@ -66,9 +66,21 @@ def main():
 
     nums = pre.points_numbers
 
-    # warmup: compile everything once
-    hs = codec.compress_hyper(pre.cubes)
-    codec.decompress_hyper_masks(hs, nums, 1.0)
+    # warmup: compile everything once (fall back to the host range coder
+    # if the device-rANS path cannot run on this platform)
+    try:
+        hs = codec.compress_hyper(pre.cubes)
+        codec.decompress_hyper_masks(hs, nums, 1.0)
+    except Exception as e:  # noqa: BLE001
+        if coder == "device":
+            print(f"device coder failed ({type(e).__name__}: {e}); "
+                  "falling back to host coder", file=sys.stderr)
+            codec = PointCloudCodec(mode="hyper", chunk=chunk, dtype=dtype,
+                                    coder="host")
+            hs = codec.compress_hyper(pre.cubes)
+            codec.decompress_hyper_masks(hs, nums, 1.0)
+        else:
+            raise
 
     best = 0.0
     for _ in range(3):
