@@ -48,7 +48,10 @@ def main():
     from pcgcv1_tpu.codec import pipeline
     from pcgcv1_tpu.codec.transforms import PointCloudCodec
 
-    chunk = int(os.environ.get("PCGC_BENCH_CHUNK", "32"))
+    # chunk 48: the ~200-cube vox10 workload splits into near-exact chunks
+    # (no tail padding) and the 3-stage pipeline overlaps best; measured
+    # 93 / 130 / 106 cubes/s at 32 / 48 / 64 on a v5e chip
+    chunk = int(os.environ.get("PCGC_BENCH_CHUNK", "48"))
     dtype_name = os.environ.get("PCGC_BENCH_DTYPE", "bfloat16")
     coder = os.environ.get("PCGC_BENCH_CODER", "device")
     import jax.numpy as jnp
