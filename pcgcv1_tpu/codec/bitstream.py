@@ -124,6 +124,10 @@ class HyperStreams:
     # (entropy/rans.py) — tagged in .strings_head by a negative cube count.
     coder: str = "host"
     lanes: int = 0             # rANS lanes per cube (device coder only)
+    # encode-time chunk size (device coder): the decoder must run the
+    # shared "prior" program with the same batch shape the encoder used
+    # (determinism contract) — recorded so decode self-configures.
+    chunk: int = 0
 
 
 def write_hyper(filename, hs: HyperStreams, rootdir="./"):
@@ -141,10 +145,11 @@ def write_hyper(filename, hs: HyperStreams, rootdir="./"):
             "reference format constraint (inout_bitstream.py:95-96)")
     with open(base + ".strings_head", "wb") as f:
         if hs.coder == "device":
-            # v2 tag: negative cube count, then a lanes byte. Old readers
-            # fail loudly (negative count) instead of mis-decoding.
+            # v2 tag: negative cube count, then lanes + encode-chunk. Old
+            # readers fail loudly (negative count) instead of mis-decoding.
             f.write(np.array(-len(hs.y_strings), np.int16).tobytes())
             f.write(np.array(hs.lanes, np.uint8).tobytes())
+            f.write(np.array(hs.chunk, np.uint16).tobytes())
         else:
             f.write(np.array(len(hs.y_strings), np.int16).tobytes())
         f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
@@ -191,10 +196,11 @@ def read_hyper(filename, rootdir="./"):
     base = os.path.join(rootdir, filename)
     with open(base + ".strings_head", "rb") as f:
         n_cubes = int(np.frombuffer(f.read(2), np.int16)[0])
-        coder, lanes = "host", 0
+        coder, lanes, chunk = "host", 0, 0
         if n_cubes < 0:
             coder, n_cubes = "device", -n_cubes
             lanes = int(np.frombuffer(f.read(1), np.uint8)[0])
+            chunk = int(np.frombuffer(f.read(2), np.uint16)[0])
         packed = np.frombuffer(f.read(n_cubes), np.uint8).astype(np.int32)
         y_max_vs = packed // 16
         y_min_vs = -(packed % 16)
@@ -220,4 +226,4 @@ def read_hyper(filename, rootdir="./"):
     return HyperStreams(y_strings, y_min_vs, y_max_vs, y_shape,
                         z_strings, int(z_min_v), int(z_max_v), z_shape,
                         points_numbers, cube_positions,
-                        coder=coder, lanes=lanes)
+                        coder=coder, lanes=lanes, chunk=chunk)

@@ -278,15 +278,16 @@ class PointCloudCodec:
         self._jit_cache[name] = jfn
         return jfn
 
-    def _iter_chunks(self, arrays):
+    def _iter_chunks(self, arrays, chunk=None):
         """Yield (start, pieces) of fixed-size chunks; only the final short
         chunk is zero-padded (no full-batch concatenate copies)."""
+        chunk = chunk or self.chunk
         b = arrays[0].shape[0]
-        for i in range(0, b, self.chunk):
+        for i in range(0, b, chunk):
             pieces = []
             for a in arrays:
-                p = a[i:i + self.chunk]
-                short = self.chunk - p.shape[0]
+                p = a[i:i + chunk]
+                short = chunk - p.shape[0]
                 if short:
                     p = np.concatenate(
                         [p, np.zeros((short,) + p.shape[1:], p.dtype)],
@@ -489,7 +490,7 @@ class PointCloudCodec:
             y_shape=(1,) + self._y_spatial,
             z_strings=z_strings, z_min_v=z_min, z_max_v=z_max,
             z_shape=zhat.shape, points_numbers=None, cube_positions=None,
-            coder="device", lanes=self.lanes)
+            coder="device", lanes=self.lanes, chunk=self.chunk)
         if return_recon:
             recon = _tree_concat(
                 [jax.device_get(f) for f in recon_futs])[:b]
@@ -505,6 +506,9 @@ class PointCloudCodec:
             hs.z_strings, hs.z_min_v, hs.z_max_v, hs.z_shape)
         b = zhat.shape[0]
         lanes = int(hs.lanes)
+        # the shared "prior" program must see the encode-time batch shape
+        # (determinism contract); v2 streams record it
+        chunk = int(getattr(hs, "chunk", 0)) or self.chunk
         elems = int(np.prod(hs.y_shape))
         head = 4 * lanes
         maxw = max((max(len(s) for s in hs.y_strings) - head) // 2, 1)
@@ -518,7 +522,7 @@ class PointCloudCodec:
         futs = []
         for i, pieces in self._iter_chunks(
                 [zhat.astype(np.int8), words_all, states_all]
-                + extra_arrays):
+                + extra_arrays, chunk=chunk):
             zp, wp, sp, *ex = pieces
             lq, sq = prior(self.params, *self._put([zp]))
             out = fin(self.params, jnp.asarray(wp), jnp.asarray(sp),

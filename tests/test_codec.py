@@ -224,3 +224,21 @@ class TestDeviceCoder:
         hs, recon = codec.compress_hyper(pre.cubes, return_recon=True)
         logits = codec.decompress_hyper(hs)
         np.testing.assert_array_equal(recon, logits)
+
+    def test_decode_adapts_to_encode_chunk(self, pre, tmp_path):
+        """v2 streams record the encode chunk; a codec configured with a
+        different chunk must still decode them (the shared prior program
+        re-runs at the encode-time batch shape)."""
+        enc = _codec("hyper", coder="device", lanes=8, chunk=4)
+        dec = _codec("hyper", coder="device", lanes=8, chunk=6)
+        dec.params = enc.params
+        hs = enc.compress_hyper(pre.cubes)
+        assert hs.chunk == 4
+        hs.points_numbers = pre.points_numbers
+        hs.cube_positions = pre.cube_positions
+        bitstream.write_hyper("chunked", hs, rootdir=str(tmp_path))
+        hs2 = bitstream.read_hyper("chunked", rootdir=str(tmp_path))
+        assert hs2.chunk == 4
+        ref = enc.decompress_hyper(hs)
+        got = dec.decompress_hyper(hs2)
+        np.testing.assert_array_equal(got, ref)
