@@ -451,11 +451,8 @@ class PointCloudCodec:
         prior = self._jitted("prior")
         b = x8.shape[0]
         elems = int(np.prod(self._y_spatial))
-        # word-buffer capacity ladder: the buffer downloads at its static
-        # size, so start small (covers ~0.5 coded bits/element) and
-        # escalate per chunk on overflow (inputs stay device-resident)
-        caps = [max(elems // 32, 2 * self.lanes), elems // 8, elems]
-        enc = self._jitted(f"rans_encode:{caps[0]}:{self.lanes}")
+        cap0 = max(elems // 8, 2 * self.lanes)
+        enc = self._jitted(f"rans_encode:{cap0}:{self.lanes}")
         futs = []
         for i, (piece,) in self._iter_chunks([x8]):
             yv, zh = ana(self.params, *self._put([piece]))
@@ -468,12 +465,13 @@ class PointCloudCodec:
         for i, yv, lq, sq, (zh, words, counts, states) in futs:
             n = min(self.chunk, b - i)
             cnts = np.asarray(counts)
-            for cap in caps[1:]:
-                if int(cnts[:n].max(initial=0)) <= words.shape[1]:
-                    break
-                enc_big = self._jitted(f"rans_encode:{cap}:{self.lanes}")
+            if int(cnts[:n].max(initial=0)) > cap0:
+                # rare: surprising latents overflowed the default word
+                # buffer; re-dispatch this chunk at worst-case capacity
+                # (the inputs are still device-resident)
+                enc_full = self._jitted(f"rans_encode:{elems}:{self.lanes}")
                 words, counts, states = self._start_fetch(
-                    enc_big(self.params, yv, lq, sq))
+                    enc_full(self.params, yv, lq, sq))
                 cnts = np.asarray(counts)
             y_strings += rans.pack_streams(
                 np.asarray(words)[:n], cnts[:n], np.asarray(states)[:n])
