@@ -85,18 +85,30 @@ def main():
         else:
             raise
 
-    best = 0.0
-    for _ in range(3):
-        t0 = time.time()
-        hs = codec.compress_hyper(pre.cubes)
-        t_enc = time.time() - t0
-        t0 = time.time()
-        codec.decompress_hyper_masks(hs, nums, 1.0)
-        t_dec = time.time() - t0
-        cps = n_cubes / (t_enc + t_dec)
-        print(f"encode {t_enc:.2f}s decode {t_dec:.2f}s -> "
-              f"{cps:.1f} cubes/s", file=sys.stderr)
-        best = max(best, cps)
+    def measure(c, iters):
+        top = 0.0
+        for _ in range(iters):
+            t0 = time.time()
+            h = c.compress_hyper(pre.cubes)
+            t_enc = time.time() - t0
+            t0 = time.time()
+            c.decompress_hyper_masks(h, nums, 1.0)
+            t_dec = time.time() - t0
+            cps = n_cubes / (t_enc + t_dec)
+            print(f"chunk {c.chunk}: encode {t_enc:.2f}s decode "
+                  f"{t_dec:.2f}s -> {cps:.1f} cubes/s", file=sys.stderr)
+            top = max(top, cps)
+        return top
+
+    best = measure(codec, 4)
+    # one alternative chunking (compiles are cached across rounds)
+    alt = 64 if chunk == 48 else 48
+    codec2 = PointCloudCodec(mode="hyper", chunk=alt, dtype=dtype,
+                             coder=coder)
+    codec2.params = codec.params
+    hs = codec2.compress_hyper(pre.cubes)
+    codec2.decompress_hyper_masks(hs, nums, 1.0)
+    best = max(best, measure(codec2, 2))
 
     print(json.dumps({
         "metric": "hyper codec encode+decode throughput (64^3 cubes, "
