@@ -135,11 +135,47 @@ def build_vrn_tables(params, width, dtype=jnp.bfloat16):
             t = jnp.pad(t, (0, lanes - t.shape[0]))
         return t[None, :]
 
+    def segment(t, ci_per_x, co_per_x):
+        """Split a banded table [..., K, N] into per-output-block windows.
+
+        Output block n (128 lanes) covers x positions [o0, o0 + 128 //
+        co_per_x); its band only reads input lanes [o0*ci_per_x,
+        (o0 + 128//co_per_x + 2) * ci_per_x) — slice each block's rows to
+        a 128-aligned window. Cuts the paid MXU FLOPs by K_full / ws.
+        Returns (stacked [..., S, ws, 128] table, window starts tuple).
+        """
+        k_full, n_full = t.shape[-2], t.shape[-1]
+        if n_full < 128 or k_full <= 128:
+            return t[..., None, :, :], (0,)
+        n_segs = n_full // 128
+        out_x = 128 // co_per_x
+        bounds = []
+        for n in range(n_segs):
+            o0 = n * out_x
+            a = (o0 * ci_per_x // 128) * 128
+            b_ = (o0 + out_x + 2) * ci_per_x
+            bounds.append((a, b_))
+        ws = _align(max(b_ - a for a, b_ in bounds), 128)
+        ws = min(ws, k_full)
+        starts = tuple(min(a, k_full - ws) for a, _ in bounds)
+        segs = jnp.stack(
+            [t[..., s:s + ws, n * 128:(n + 1) * 128]
+             for n, s in enumerate(starts)], axis=-3)
+        return segs, starts
+
+    t11s, t11_starts = segment(t11, c, c4)
+    t21s, _ = segment(t21, c, c4)            # same band geometry as t11
+    t12s, t12_starts = segment(t12, c4, c)
+    t22s, t22_starts = segment(t22, c4, c4)
+    t23s, t23_starts = segment(t23, c4, c)
+
     return {
         "c": c, "width": width,
-        "t11": t11.astype(dtype), "t21": t21.astype(dtype),
-        "t12": t12.astype(dtype), "t22": t22.astype(dtype),
-        "t23": t23.astype(dtype),
+        "t11": t11s.astype(dtype), "t21": t21s.astype(dtype),
+        "t12": t12s.astype(dtype), "t22": t22s.astype(dtype),
+        "t23": t23s.astype(dtype),
+        "t11_starts": t11_starts, "t12_starts": t12_starts,
+        "t22_starts": t22_starts, "t23_starts": t23_starts,
         "b11": tile_bias(params["conv1_1"]["bias"], w_ext, lanes=la_ext),
         "b21": tile_bias(params["conv2_1"]["bias"], w_ext, lanes=la_ext),
         "b12": tile_bias(params["conv1_2"]["bias"], width, pad_to=c, off=0),
@@ -152,11 +188,12 @@ def build_vrn_tables(params, width, dtype=jnp.bfloat16):
 # --------------------------------- kernels ----------------------------------
 
 def _vrn_a_kernel(xp_hbm, t11, t21, b11, b21, t1a_out, t2a_out,
-                  xslab, sem, *, tz, w_ext, c, ya_ext, la_ext):
+                  xslab, sem, *, tz, w_ext, c, ya_ext, la_ext, starts, ws):
     """Grid (B, (W+2)//tz): extended-plane t in [i*tz, i*tz+tz).
 
     t-plane t corresponds to z = t-1; conv taps need padded-x z-planes
-    zp = t + dz, so the slab DMA covers [i*tz, i*tz + tz + 2).
+    zp = t + dz, so the slab DMA covers [i*tz, i*tz + tz + 2). The dots
+    run per 128-lane output block against its (static) banded K window.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -178,24 +215,31 @@ def _vrn_a_kernel(xp_hbm, t11, t21, b11, b21, t1a_out, t2a_out,
     for tt in range(tz):
         t_glob = i * tz + tt
         z_ok = jnp.where((t_glob > 0) & (t_glob < w_ext - 1), 1.0, 0.0)
-        mask = ring * z_ok
-        acc = jnp.zeros((ya_ext, la_ext), f32)
-        for dz in range(3):
-            plane = xslab[tt + dz]
-            for dy in range(3):
-                acc += jnp.dot(plane[dy:dy + ya_ext, :], t11[dz, dy, :, :],
-                               preferred_element_type=f32)
-        t1a_out[0, tt] = (jnp.maximum(acc + b11[:], 0.0) * mask).astype(
-            t1a_out.dtype)
-        ctr = xslab[tt + 1]
-        t2 = jnp.dot(ctr[1:1 + ya_ext, :], t21[:, :],
-                     preferred_element_type=f32)
-        t2a_out[0, tt] = (jnp.maximum(t2 + b21[:], 0.0) * mask).astype(
-            t2a_out.dtype)
+        bw = t11.shape[-1]
+        for n, s in enumerate(starts):
+            sl = slice(bw * n, bw * (n + 1))
+            acc = jnp.zeros((ya_ext, bw), f32)
+            for dz in range(3):
+                plane = xslab[tt + dz]
+                for dy in range(3):
+                    acc += jnp.dot(plane[dy:dy + ya_ext, s:s + ws],
+                                   t11[dz, dy, n, :, :],
+                                   preferred_element_type=f32)
+            mask = ring[:, sl] * z_ok
+            t1a_out[0, tt, :, sl] = (
+                jnp.maximum(acc + b11[:, sl], 0.0) * mask).astype(
+                t1a_out.dtype)
+            ctr = xslab[tt + 1]
+            t2 = jnp.dot(ctr[1:1 + ya_ext, s:s + ws], t21[n, :, :],
+                         preferred_element_type=f32)
+            t2a_out[0, tt, :, sl] = (
+                jnp.maximum(t2 + b21[:, sl], 0.0) * mask).astype(
+                t2a_out.dtype)
 
 
 def _vrn_b_kernel(t1a_hbm, t2a_hbm, x_in, t12, t22, t23, b12, b22, b23,
-                  out, t1slab, t2slab, sems, *, tz, width, c):
+                  out, t1slab, t2slab, sems, *, tz, width, c,
+                  segs12, segs22, segs23):
     """Grid (B, W//tz): output plane z in [i*tz, i*tz+tz); needs extended
     planes t = z + dz in [i*tz, i*tz + tz + 2)."""
     b = pl.program_id(0)
@@ -209,22 +253,39 @@ def _vrn_b_kernel(t1a_hbm, t2a_hbm, x_in, t12, t22, t23, b12, b22, b23,
     cp1.wait()
     cp2.wait()
     f32 = jnp.float32
+    s12, ws12 = segs12
+    s22, ws22 = segs22
+    s23, ws23 = segs23
     for zz in range(tz):
-        p1 = jnp.zeros((width, width * c), f32)
-        p2 = jnp.zeros((width, width * (c // 4)), f32)
-        for dz in range(3):
-            pl1 = t1slab[zz + dz]
-            pl2 = t2slab[zz + dz]
-            for dy in range(3):
-                p1 += jnp.dot(pl1[dy:dy + width, :], t12[dz, dy, :, :],
-                              preferred_element_type=f32)
-                p2 += jnp.dot(pl2[dy:dy + width, :], t22[dz, dy, :, :],
-                              preferred_element_type=f32)
+        p1_blocks = []
+        for n, s in enumerate(s12):
+            acc = jnp.zeros((width, t12.shape[-1]), f32)
+            for dz in range(3):
+                pl1 = t1slab[zz + dz]
+                for dy in range(3):
+                    acc += jnp.dot(pl1[dy:dy + width, s:s + ws12],
+                                   t12[dz, dy, n, :, :],
+                                   preferred_element_type=f32)
+            p1_blocks.append(acc)
+        p1 = jnp.concatenate(p1_blocks, axis=1)
+        p2_blocks = []
+        for n, s in enumerate(s22):
+            acc = jnp.zeros((width, t22.shape[-1]), f32)
+            for dz in range(3):
+                pl2 = t2slab[zz + dz]
+                for dy in range(3):
+                    acc += jnp.dot(pl2[dy:dy + width, s:s + ws22],
+                                   t22[dz, dy, n, :, :],
+                                   preferred_element_type=f32)
+            p2_blocks.append(acc)
+        p2 = jnp.concatenate(p2_blocks, axis=1)
         # p1 lanes are already embedded at channel offset 0 of each x block
         p1 = jnp.maximum(p1 + b12[:], 0.0)
         t2b = jnp.maximum(p2 + b22[:], 0.0).astype(t1slab.dtype)
-        p2e = jnp.maximum(
-            jnp.dot(t2b, t23[:, :], preferred_element_type=f32) + b23[:], 0.0)
+        p2e = jnp.maximum(jnp.concatenate(
+            [jnp.dot(t2b[:, s:s + ws23], t23[n, :, :],
+                     preferred_element_type=f32)
+             for n, s in enumerate(s23)], axis=1) + b23[:], 0.0)
         x = x_in[0, zz].astype(f32)
         out[0, zz] = jnp.maximum(x + p1 + p2e, 0.0).astype(out.dtype)
 
@@ -266,7 +327,9 @@ def vrn_block_pallas(x, tables, interpret=False):
 
     t1a, t2a = pl.pallas_call(
         functools.partial(_vrn_a_kernel, tz=tz_a, w_ext=w_ext, c=c,
-                          ya_ext=ya_ext, la_ext=la_ext),
+                          ya_ext=ya_ext, la_ext=la_ext,
+                          starts=tables["t11_starts"],
+                          ws=tables["t11"].shape[-2]),
         grid=(bsz, w_ext // tz_a),
         in_specs=[
             # halo-DMA source: must stay in (untiled) HBM — Mosaic cannot
@@ -297,7 +360,11 @@ def vrn_block_pallas(x, tables, interpret=False):
     )(xp, tables["t11"], tables["t21"], tables["b11"], tables["b21"])
 
     out = pl.pallas_call(
-        functools.partial(_vrn_b_kernel, tz=tz_b, width=width, c=c),
+        functools.partial(
+            _vrn_b_kernel, tz=tz_b, width=width, c=c,
+            segs12=(tables["t12_starts"], tables["t12"].shape[-2]),
+            segs22=(tables["t22_starts"], tables["t22"].shape[-2]),
+            segs23=(tables["t23_starts"], tables["t23"].shape[-2])),
         grid=(bsz, width // tz_b),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),

@@ -39,7 +39,9 @@ def test_tables_static_metadata():
     params = block.init(jax.random.PRNGKey(1), x)["params"]
     t = vrn_pallas.build_vrn_tables(params, 8)
     assert t["c"] == 16 and t["width"] == 8
-    # tables are padded to tile-aligned lane counts
-    assert t["t11"].shape == (3, 3, vrn_pallas._align(12 * 16, 128),
+    # tables are segmented into per-output-block banded windows
+    # [dz, dy, seg, ws, block]; at width 8 everything is one segment
+    assert t["t11"].shape == (3, 3, 1, vrn_pallas._align(12 * 16, 128),
                               vrn_pallas._align(10 * 4, 128))
-    assert t["t12"].shape == (3, 3, vrn_pallas._align(10 * 4, 128), 8 * 16)
+    assert t["t11_starts"] == (0,)
+    assert t["t12"].shape[2] == 1 and t["t12"].shape[-1] == 8 * 16
