@@ -46,6 +46,12 @@ def _add_codec_flags(p):
                         "coder, reference-format streams; 'device' = "
                         "on-TPU interleaved rANS, minimal link traffic. "
                         "Decode auto-detects from the stream.")
+    p.add_argument("--prior", default="float", choices=["float", "int"],
+                   help="hyper prior-code producer: 'float' = shared "
+                        "jitted hyper-decoder (same-platform decode); "
+                        "'int' = integer-quantized hyper-decoder — "
+                        "streams decode bit-exactly on any backend "
+                        "(requires --coder device).")
     p.add_argument("--rootdir", default="./compressed")
 
 
@@ -56,7 +62,8 @@ def _make_codec(args):
     return PointCloudCodec(
         model=args.modelname, mode=args.mode,
         ckpt_dir=args.ckpt_dir or None, dtype=dtype, chunk=args.chunk,
-        cube_size=args.cube_size, coder=getattr(args, "coder", "host"))
+        cube_size=args.cube_size, coder=getattr(args, "coder", "host"),
+        prior=getattr(args, "prior", "float"))
 
 
 def cmd_compress(args):

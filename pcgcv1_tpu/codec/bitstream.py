@@ -127,7 +127,15 @@ class HyperStreams:
     # encode-time chunk size (device coder): the decoder must run the
     # shared "prior" program with the same batch shape the encoder used
     # (determinism contract) — recorded so decode self-configures.
+    # (Not required when prior == "int": integer prior codes are batch-
+    # shape- and platform-independent.)
     chunk: int = 0
+    # prior-code producer: "float" = shared jitted float hyper-decoder
+    # (same-platform determinism); "int" = integer-quantized hyper-decoder
+    # (entropy/qprior.py) — cross-platform deterministic. The "int" tag
+    # ships the calibrated activation scale exponents.
+    prior: str = "float"
+    prior_scales: tuple = ()
 
 
 def write_hyper(filename, hs: HyperStreams, rootdir="./"):
@@ -144,7 +152,17 @@ def write_hyper(filename, hs: HyperStreams, rootdir="./"):
             f"max {y_max.min()}..{y_max.max()}); "
             "reference format constraint (inout_bitstream.py:95-96)")
     with open(base + ".strings_head", "wb") as f:
-        if hs.coder == "device":
+        if hs.coder == "device" and hs.prior == "int":
+            # v3 tag: int16 -32768 marker, uint16 count, lanes + chunk,
+            # then the int-prior activation scales (see entropy/qprior.py)
+            f.write(np.array(-32768, np.int16).tobytes())
+            f.write(np.array(len(hs.y_strings), np.uint16).tobytes())
+            f.write(np.array(hs.lanes, np.uint8).tobytes())
+            f.write(np.array(hs.chunk, np.uint16).tobytes())
+            scales = np.asarray(hs.prior_scales, np.int8)
+            f.write(np.array(len(scales), np.uint8).tobytes())
+            f.write(scales.tobytes())
+        elif hs.coder == "device":
             # v2 tag: negative cube count, then lanes + encode-chunk. Old
             # readers fail loudly (negative count) instead of mis-decoding.
             f.write(np.array(-len(hs.y_strings), np.int16).tobytes())
@@ -197,7 +215,16 @@ def read_hyper(filename, rootdir="./"):
     with open(base + ".strings_head", "rb") as f:
         n_cubes = int(np.frombuffer(f.read(2), np.int16)[0])
         coder, lanes, chunk = "host", 0, 0
-        if n_cubes < 0:
+        prior, prior_scales = "float", ()
+        if n_cubes == -32768:
+            coder, prior = "device", "int"
+            n_cubes = int(np.frombuffer(f.read(2), np.uint16)[0])
+            lanes = int(np.frombuffer(f.read(1), np.uint8)[0])
+            chunk = int(np.frombuffer(f.read(2), np.uint16)[0])
+            ns = int(np.frombuffer(f.read(1), np.uint8)[0])
+            prior_scales = tuple(
+                int(s) for s in np.frombuffer(f.read(ns), np.int8))
+        elif n_cubes < 0:
             coder, n_cubes = "device", -n_cubes
             lanes = int(np.frombuffer(f.read(1), np.uint8)[0])
             chunk = int(np.frombuffer(f.read(2), np.uint16)[0])
@@ -226,4 +253,5 @@ def read_hyper(filename, rootdir="./"):
     return HyperStreams(y_strings, y_min_vs, y_max_vs, y_shape,
                         z_strings, int(z_min_v), int(z_max_v), z_shape,
                         points_numbers, cube_positions,
-                        coder=coder, lanes=lanes, chunk=chunk)
+                        coder=coder, lanes=lanes, chunk=chunk,
+                        prior=prior, prior_scales=prior_scales)

@@ -25,8 +25,11 @@ TPU:
   mask is downloaded (32x less than float logits).
 
 Cross-platform note: factorized-mode streams decode on any platform (CDF
-tables are built in C++ from the f32 weights); hyper-mode streams require
-the same platform because loc/scale codes come from float convolutions.
+tables are built in C++ from the f32 weights). Hyper-mode streams with the
+default float prior require the same platform because loc/scale codes come
+from float convolutions; with ``prior="int"`` (integer-quantized
+hyper-decoder, entropy/qprior.py) they decode bit-exactly on any backend,
+chunk size, or chip count.
 """
 
 from __future__ import annotations
@@ -39,7 +42,7 @@ import numpy as np
 
 from pcgcv1_tpu import native
 from pcgcv1_tpu.codec import bitstream
-from pcgcv1_tpu.entropy import FactorizedEntropy, conditional, rans
+from pcgcv1_tpu.entropy import FactorizedEntropy, conditional, qprior, rans
 from pcgcv1_tpu.entropy.factorized import export_cdf_weights
 from pcgcv1_tpu.models import get_model
 from pcgcv1_tpu.utils import checkpoint as ckpt_lib
@@ -101,11 +104,22 @@ class PointCloudCodec:
 
     def __init__(self, model="voxception", mode="hyper", ckpt_dir=None,
                  dtype=jnp.float32, chunk=64, cube_size=64, mesh=None,
-                 seed=0, coder="host", lanes=rans.DEFAULT_LANES):
+                 seed=0, coder="host", lanes=rans.DEFAULT_LANES,
+                 prior="float"):
         if mode not in ("hyper", "factorized"):
             raise ValueError(f"unknown mode {mode!r}")
         if coder not in ("host", "device"):
             raise ValueError(f"unknown coder {coder!r}")
+        if prior not in ("float", "int"):
+            raise ValueError(f"unknown prior {prior!r}")
+        if prior == "int" and (mode != "hyper" or coder != "device"):
+            raise ValueError(
+                "prior='int' (cross-platform integer prior codes, "
+                "entropy/qprior.py) requires mode='hyper' coder='device' — "
+                "the host-coder stream header is reference-format and has "
+                "no field for the shipped activation scales")
+        self.prior = prior
+        self._qw = None          # lazy: derived integer hyper-decoder codes
         self.coder = coder
         self.lanes = int(lanes)
         self.family = get_model(model)
@@ -225,6 +239,21 @@ class PointCloudCodec:
                 loc, scale = apply("hyper_decoder", params["hyper_decoder"],
                                    zhat8.astype(jnp.float32))
                 return quantize_prior(loc, scale)
+        elif name == "qprior":
+            # integer-quantized prior: bit-exact on any backend / batch
+            # shape (entropy/qprior.py). Weight codes are closure constants
+            # (re-derived deterministically from the checkpoint); the
+            # calibrated activation scales arrive as a dynamic input.
+            qw = self._qprior_weights()
+
+            def fn(params, a_scales, zhat8):
+                return qprior.apply_qprior(qw, a_scales, zhat8)
+        elif name == "qprior_calib":
+            # encoder-side activation-range calibration (float; only its
+            # OUTPUT ships, so it need not be deterministic)
+            def fn(params, zhat8):
+                return qprior.calibration_program(
+                    mods["hyper_decoder"], params["hyper_decoder"], zhat8)
         elif name == "synthesis":
             def fn(params, y8):
                 return apply("synthesis", params["synthesis"],
@@ -277,6 +306,21 @@ class PointCloudCodec:
         jfn = jax.jit(fn)
         self._jit_cache[name] = jfn
         return jfn
+
+    def _qprior_weights(self):
+        """Integer hyper-decoder weight codes, derived once per codec from
+        the checkpoint bytes (platform-independent; entropy/qprior.py)."""
+        if self._qw is None:
+            hd = jax.tree.map(np.asarray,
+                              jax.device_get(self.params["hyper_decoder"]))
+            self._qw = qprior.derive_weight_codes(hd)
+        return self._qw
+
+    def _calibrate_prior_scales(self, zhat_dev):
+        """Encoder-side activation-range calibration on the first chunk's
+        device-resident zhat -> shipped scale exponents (int32 tuple)."""
+        maxes = self._jitted("qprior_calib")(self.params, zhat_dev)
+        return qprior.scales_from_maxes(np.asarray(maxes))
 
     def _iter_chunks(self, arrays, chunk=None):
         """Yield (start, pieces) of fixed-size chunks; only the final short
@@ -448,15 +492,25 @@ class PointCloudCodec:
         """
         x8 = _occupancy_u8(cubes)
         ana = self._jitted("analysis_hyper")
-        prior = self._jitted("prior")
         b = x8.shape[0]
         elems = int(np.prod(self._y_spatial))
         cap0 = max(elems // 8, 2 * self.lanes)
         enc = self._jitted(f"rans_encode:{cap0}:{self.lanes}")
+        a_scales = ()
+        if self.prior == "int":
+            qp = self._jitted("qprior")
+        else:
+            prior = self._jitted("prior")
         futs = []
         for i, (piece,) in self._iter_chunks([x8]):
             yv, zh = ana(self.params, *self._put([piece]))
-            lq, sq = prior(self.params, zh)
+            if self.prior == "int":
+                if i == 0:
+                    a_scales = self._calibrate_prior_scales(zh)
+                    a_dev = jnp.asarray(a_scales, jnp.int32)
+                lq, sq = qp(self.params, a_dev, zh)
+            else:
+                lq, sq = prior(self.params, zh)
             coded = enc(self.params, yv, lq, sq)
             futs.append((i, yv, lq, sq,
                          self._start_fetch((zh,) + coded)))
@@ -490,7 +544,9 @@ class PointCloudCodec:
             y_shape=(1,) + self._y_spatial,
             z_strings=z_strings, z_min_v=z_min, z_max_v=z_max,
             z_shape=zhat.shape, points_numbers=None, cube_positions=None,
-            coder="device", lanes=self.lanes, chunk=self.chunk)
+            coder="device", lanes=self.lanes, chunk=self.chunk,
+            prior=self.prior,
+            prior_scales=tuple(int(s) for s in a_scales))
         if return_recon:
             recon = _tree_concat(
                 [jax.device_get(f) for f in recon_futs])[:b]
@@ -506,16 +562,24 @@ class PointCloudCodec:
             hs.z_strings, hs.z_min_v, hs.z_max_v, hs.z_shape)
         b = zhat.shape[0]
         lanes = int(hs.lanes)
-        # the shared "prior" program must see the encode-time batch shape
-        # (determinism contract); v2 streams record it
-        chunk = int(getattr(hs, "chunk", 0)) or self.chunk
+        int_prior = getattr(hs, "prior", "float") == "int"
+        if int_prior:
+            # integer prior codes are batch-shape-independent: decode at
+            # this codec's own chunk size, any platform
+            chunk = self.chunk
+            qp = self._jitted("qprior")
+            a_dev = jnp.asarray(hs.prior_scales, jnp.int32)
+        else:
+            # the shared "prior" program must see the encode-time batch
+            # shape (determinism contract); v2 streams record it
+            chunk = int(getattr(hs, "chunk", 0)) or self.chunk
+            prior = self._jitted("prior")
         elems = int(np.prod(hs.y_shape))
         head = 4 * lanes
         maxw = max((max(len(s) for s in hs.y_strings) - head) // 2, 1)
         capd = min(1 << max(9, int(np.ceil(np.log2(maxw)))), elems)
         words_all, states_all = rans.unpack_streams(
             hs.y_strings, lanes, capd)
-        prior = self._jitted("prior")
         fin = self._jitted(f"rans_{final}:{capd}:{lanes}")
         extra_arrays = [np.asarray(a) for a in extra_arrays]
 
@@ -524,7 +588,10 @@ class PointCloudCodec:
                 [zhat.astype(np.int8), words_all, states_all]
                 + extra_arrays, chunk=chunk):
             zp, wp, sp, *ex = pieces
-            lq, sq = prior(self.params, *self._put([zp]))
+            if int_prior:
+                lq, sq = qp(self.params, a_dev, *self._put([zp]))
+            else:
+                lq, sq = prior(self.params, *self._put([zp]))
             out = fin(self.params, jnp.asarray(wp), jnp.asarray(sp),
                       lq, sq, *ex, *scalars)
             futs.append(self._start_fetch(out))
