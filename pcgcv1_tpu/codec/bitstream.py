@@ -18,6 +18,13 @@ hyper mode (`write/read_binary_files_hyper`, reference :75-198):
   <name>.pointnums     = uint16 per cube
   <name>.cubepos       = cube positions, losslessly coded
 
+device-coder hyper streams (coder="device") replace the per-cube part of
+`.strings_head` with a v4 tag (int16 -32768, version, flags, n_cubes,
+log2 lanes, encode chunk, optional int-prior scales) and `.strings` with
+ONE chained-rANS blob (lane states + words; entropy/rans.py). Factorized
+device streams are self-describing via FACTORIZED_DEVICE_MAGIC inside the
+reference-layout `.strings` field.
+
 One deliberate difference: `.cubepos` holds our native octree codec's stream
 (1-byte depth header + arithmetic-coded octree) instead of a tmc3 bitstream —
 the reference shells out to the MPEG G-PCC binary there (`inout_bitstream.py:
@@ -40,6 +47,11 @@ from pcgcv1_tpu import native
 # changes: decoding a stream with mismatched adaptive contexts yields
 # silent garbage, so fail loudly instead.
 OCTREE_FORMAT_VERSION = 3
+
+# Self-describing prefix of device-coded factorized `.strings` (host-coded
+# streams are raw range-coder bytes; decode auto-detects). Chosen to be an
+# impossible-ish range-coder prefix (7 bytes, collision ~2^-56).
+FACTORIZED_DEVICE_MAGIC = b"\x00PCGCd4"
 
 
 def encode_cube_positions(cube_positions):
@@ -120,10 +132,11 @@ class HyperStreams:
     points_numbers: np.ndarray
     cube_positions: np.ndarray
     # y entropy coder: "host" = C++ range coder over quantized-Laplace CDFs
-    # (reference-format layout); "device" = on-TPU interleaved rANS
-    # (entropy/rans.py) — tagged in .strings_head by a negative cube count.
+    # (reference-format layout, one stream per cube); "device" = on-TPU
+    # chained interleaved rANS (entropy/rans.py, ONE blob per workload in
+    # y_strings[0]) — tagged in .strings_head by the -32768 marker.
     coder: str = "host"
-    lanes: int = 0             # rANS lanes per cube (device coder only)
+    lanes: int = 0             # total rANS lanes (device coder only)
     # encode-time chunk size (device coder): the decoder must run the
     # shared "prior" program with the same batch shape the encoder used
     # (determinism contract) — recorded so decode self-configures.
@@ -152,43 +165,41 @@ def write_hyper(filename, hs: HyperStreams, rootdir="./"):
             f"max {y_max.min()}..{y_max.max()}); "
             "reference format constraint (inout_bitstream.py:95-96)")
     with open(base + ".strings_head", "wb") as f:
-        if hs.coder == "device" and hs.prior == "int":
-            # v3 tag: int16 -32768 marker, uint16 count, lanes + chunk,
-            # then the int-prior activation scales (see entropy/qprior.py)
+        if hs.coder == "device":
+            # v4 device tag: int16 -32768 marker. y is ONE chained-rANS
+            # blob (entropy/rans.py), so there are no per-cube ranges or
+            # lengths; the header carries the coding-unit geometry and,
+            # for prior='int', the shipped activation scales.
+            if len(hs.y_strings) != 1:
+                raise ValueError("device-coder streams are a single blob")
             f.write(np.array(-32768, np.int16).tobytes())
-            f.write(np.array(len(hs.y_strings), np.uint16).tobytes())
-            f.write(np.array(hs.lanes, np.uint8).tobytes())
+            f.write(np.array(4, np.uint8).tobytes())           # version
+            flags = 1 if hs.prior == "int" else 0
+            f.write(np.array(flags, np.uint8).tobytes())
+            f.write(np.array(len(hs.points_numbers)
+                             if hs.points_numbers is not None else 0,
+                             np.uint16).tobytes())
+            f.write(np.array(int(np.log2(hs.lanes)), np.uint8).tobytes())
             f.write(np.array(hs.chunk, np.uint16).tobytes())
-            scales = np.asarray(hs.prior_scales, np.int8)
-            f.write(np.array(len(scales), np.uint8).tobytes())
-            f.write(scales.tobytes())
-        elif hs.coder == "device":
-            # v2 tag: negative cube count, then lanes + encode-chunk. Old
-            # readers fail loudly (negative count) instead of mis-decoding.
-            f.write(np.array(-len(hs.y_strings), np.int16).tobytes())
-            f.write(np.array(hs.lanes, np.uint8).tobytes())
-            f.write(np.array(hs.chunk, np.uint16).tobytes())
+            if hs.prior == "int":
+                scales = np.asarray(hs.prior_scales, np.int8)
+                f.write(np.array(len(scales), np.uint8).tobytes())
+                f.write(scales.tobytes())
         else:
             f.write(np.array(len(hs.y_strings), np.int16).tobytes())
-        f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
-        for s in hs.y_strings:
-            n = len(s)
-            if n <= 255:
-                f.write(np.array(n, np.uint8).tobytes())
-            elif n <= 32767:
-                f.write(np.array(0, np.uint8).tobytes())
-                f.write(np.array(n, np.int16).tobytes())
-            elif hs.coder == "device":
-                # v2-only second escape (int16 -1 then int32); the host
-                # coder keeps the reference's two-level format exactly
-                f.write(np.array(0, np.uint8).tobytes())
-                f.write(np.array(-1, np.int16).tobytes())
-                f.write(np.array(n, np.int32).tobytes())
-            else:
-                raise ValueError(
-                    f"per-cube stream of {n} bytes exceeds the reference "
-                    "container's int16 length field "
-                    "(inout_bitstream.py:97-103)")
+            f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
+            for s in hs.y_strings:
+                n = len(s)
+                if n <= 255:
+                    f.write(np.array(n, np.uint8).tobytes())
+                elif n <= 32767:
+                    f.write(np.array(0, np.uint8).tobytes())
+                    f.write(np.array(n, np.int16).tobytes())
+                else:
+                    raise ValueError(
+                        f"per-cube stream of {n} bytes exceeds the "
+                        "reference container's int16 length field "
+                        "(inout_bitstream.py:97-103)")
         f.write(np.array(hs.y_shape, np.int16).tobytes())
     with open(base + ".strings", "wb") as f:
         for s in hs.y_strings:
@@ -217,31 +228,43 @@ def read_hyper(filename, rootdir="./"):
         coder, lanes, chunk = "host", 0, 0
         prior, prior_scales = "float", ()
         if n_cubes == -32768:
-            coder, prior = "device", "int"
+            coder = "device"
+            version = int(np.frombuffer(f.read(1), np.uint8)[0])
+            if version != 4:
+                raise ValueError(
+                    f"device stream format v{version} != v4 (encoded by an "
+                    "incompatible build)")
+            flags = int(np.frombuffer(f.read(1), np.uint8)[0])
             n_cubes = int(np.frombuffer(f.read(2), np.uint16)[0])
-            lanes = int(np.frombuffer(f.read(1), np.uint8)[0])
+            lanes = 1 << int(np.frombuffer(f.read(1), np.uint8)[0])
             chunk = int(np.frombuffer(f.read(2), np.uint16)[0])
-            ns = int(np.frombuffer(f.read(1), np.uint8)[0])
-            prior_scales = tuple(
-                int(s) for s in np.frombuffer(f.read(ns), np.int8))
+            if flags & 1:
+                prior = "int"
+                ns = int(np.frombuffer(f.read(1), np.uint8)[0])
+                prior_scales = tuple(
+                    int(s) for s in np.frombuffer(f.read(ns), np.int8))
+            y_min_vs = np.zeros(n_cubes, np.int32)
+            y_max_vs = np.zeros(n_cubes, np.int32)
+            lens = None
         elif n_cubes < 0:
-            coder, n_cubes = "device", -n_cubes
-            lanes = int(np.frombuffer(f.read(1), np.uint8)[0])
-            chunk = int(np.frombuffer(f.read(2), np.uint16)[0])
-        packed = np.frombuffer(f.read(n_cubes), np.uint8).astype(np.int32)
-        y_max_vs = packed // 16
-        y_min_vs = -(packed % 16)
-        lens = []
-        for _ in range(n_cubes):
-            l = int(np.frombuffer(f.read(1), np.uint8)[0])
-            if l == 0:
-                l = int(np.frombuffer(f.read(2), np.int16)[0])
-                if l == -1:
-                    l = int(np.frombuffer(f.read(4), np.int32)[0])
-            lens.append(l)
+            raise ValueError(
+                "unrecognized .strings_head tag (stream from an "
+                "incompatible build)")
+        else:
+            packed = np.frombuffer(f.read(n_cubes), np.uint8).astype(
+                np.int32)
+            y_max_vs = packed // 16
+            y_min_vs = -(packed % 16)
+            lens = []
+            for _ in range(n_cubes):
+                l = int(np.frombuffer(f.read(1), np.uint8)[0])
+                if l == 0:
+                    l = int(np.frombuffer(f.read(2), np.int16)[0])
+                lens.append(l)
         y_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
     with open(base + ".strings", "rb") as f:
-        y_strings = [f.read(l) for l in lens]
+        y_strings = [f.read(l) for l in lens] if lens is not None \
+            else [f.read()]
     with open(base + ".strings_hyper", "rb") as f:
         z_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
         z_min_v, z_max_v = np.frombuffer(f.read(2), np.int8)

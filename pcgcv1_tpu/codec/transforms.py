@@ -96,10 +96,17 @@ class PointCloudCodec:
       ckpt_dir: checkpoint directory (trainer checkpoint or bare params).
         None -> random-initialized weights (throughput benchmarks only).
       dtype: compute dtype of analysis/synthesis transforms.
-      chunk: cubes per jitted device step. Encode and decode of the same
-        stream must use the same value (determinism contract above).
+      chunk: cubes per jitted device step. With the float prior, decode of
+        a device stream re-runs the prior at the encode-time chunk
+        (recorded in the stream); with prior="int" any chunk decodes.
       mesh: optional jax.sharding.Mesh; chunk batches are sharded over its
         'data' axis.
+      coder: "host" = C++ range coder (reference-format streams, per-cube);
+        "device" = chained on-TPU rANS (one blob per workload, single lane
+        flush; entropy/rans.py).
+      lanes: max total interleaved rANS lanes for the device coder
+        (rounded to a power of two dividing the per-cube element count).
+      prior: "float" | "int" — see module docstring.
     """
 
     def __init__(self, model="voxception", mode="hyper", ckpt_dir=None,
@@ -267,39 +274,82 @@ class PointCloudCodec:
                                y8.astype(jnp.float32))
                 return self._pack_classify(logits, nums, rho)
         elif name.startswith("rans_encode:"):
-            # device entropy coding: y int8 + prior codes (all device-
-            # resident) -> compacted rANS words; the per-element prior
-            # never crosses the host link (entropy/rans.py)
-            _, cap, lanes = name.split(":")
-            cap, lanes = int(cap), int(lanes)
+            # chained device entropy coding: y int8 + prior codes (all
+            # device-resident) -> compacted rANS words; the per-element
+            # prior never crosses the host link (entropy/rans.py). n = real
+            # cubes in this (padded) chunk; states thread across chunks.
+            _, n, cap = name.split(":")
+            n, cap = int(n), int(cap)
 
-            def fn(params, y8, lq, sq):
-                b = y8.shape[0]
-                u = y8.astype(jnp.int32).reshape(b, -1) + 128
+            def fn(params, y8, lq, sq, states):
+                u = y8[:n].astype(jnp.int32).reshape(-1) + 128
                 return rans.rans_encode(
-                    u, lq.astype(jnp.int32).reshape(b, -1),
-                    sq.astype(jnp.int32).reshape(b, -1), lanes, cap)
+                    u, lq[:n].astype(jnp.int32).reshape(-1),
+                    sq[:n].astype(jnp.int32).reshape(-1), states, cap)
         elif name.startswith("rans_synthesis:") \
                 or name.startswith("rans_classify:"):
-            # fused device decode: rANS -> y -> synthesis [-> top-k mask].
-            # Integer rANS + decode-only float stages are safe to fuse; the
-            # shared float "prior" program stays standalone (contract above)
-            _, _, lanes = name.split(":")
-            lanes = int(lanes)
+            # fused chained device decode: rANS -> y -> synthesis
+            # [-> top-k mask]. Integer rANS + decode-only float stages are
+            # safe to fuse; the float "prior" program stays standalone
+            # (contract above). words = the WHOLE workload's word array;
+            # (states, ptr) carry across chunk dispatches.
+            _, n = name.split(":")
+            n = int(n)
             classify = name.startswith("rans_classify:")
 
-            def fn(params, words, states, lq, sq, *extras):
-                b = lq.shape[0]
-                u = rans.rans_decode(
-                    words, states, lq.astype(jnp.int32).reshape(b, -1),
-                    sq.astype(jnp.int32).reshape(b, -1), lanes)
+            def fn(params, words, states, ptr, lq, sq, *extras):
+                u, states, ptr = rans.rans_decode(
+                    words, states, ptr,
+                    lq[:n].astype(jnp.int32).reshape(-1),
+                    sq[:n].astype(jnp.int32).reshape(-1))
                 y = (u - 128).astype(jnp.float32).reshape(
-                    (b,) + self._y_spatial)
+                    (n,) + self._y_spatial)
                 logits = apply("synthesis", params["synthesis"], y)
                 if not classify:
-                    return logits
+                    return logits, states, ptr
                 nums, rho = extras
-                return self._pack_classify(logits, nums, rho)
+                return self._pack_classify(logits[:n], nums[:n], rho), \
+                    states, ptr
+        elif name.startswith("cdf_encode:"):
+            # chained table-CDF device coding (factorized model): symbols =
+            # y - min_v against per-lane quantized CDF rows built by the
+            # deterministic C++ runtime (cross-platform by construction)
+            _, n, cap = name.split(":")
+            n, cap = int(n), int(cap)
+
+            def fn(params, y8, table, min_v, states):
+                sym = y8[:n].astype(jnp.int32).reshape(-1) - min_v
+                return rans.rans_encode_cdf(sym, table, states, cap)
+        elif name.startswith("cdf_synthesis:") \
+                or name.startswith("cdf_classify:"):
+            _, n = name.split(":")
+            n = int(n)
+            classify = name.startswith("cdf_classify:")
+
+            def fn(params, words, table, min_v, states, ptr, *extras):
+                m = n * int(np.prod(self._y_spatial))
+                sym, states, ptr = rans.rans_decode_cdf(
+                    words, table, states, ptr, m)
+                y = (sym + min_v).astype(jnp.float32).reshape(
+                    (n,) + self._y_spatial)
+                logits = apply("synthesis", params["synthesis"], y)
+                if not classify:
+                    return logits, states, ptr
+                nums, rho = extras
+                return self._pack_classify(logits, nums[:n], rho), \
+                    states, ptr
+        elif name.startswith("analysis_q_mm:"):
+            # factorized device encode stage A: rounded latents + the range
+            # of the n REAL cubes (padding excluded; two scalars are the
+            # only extra download)
+            n = int(name.split(":")[1])
+
+            def fn(params, x8):
+                y = apply("analysis", params["analysis"],
+                          x8.astype(jnp.float32))
+                yv = jnp.clip(jnp.round(y), -Y_CLIP, Y_CLIP).astype(
+                    jnp.int8)
+                return yv, yv[:n].min(), yv[:n].max()
         else:
             raise KeyError(name)
 
@@ -393,18 +443,85 @@ class PointCloudCodec:
         return values.reshape(shape)
 
     # ------------------------------------------------------------ factorized
+    def _table_lanes(self):
+        """Table-CDF coding needs each lane pinned to one channel: lanes
+        must be a multiple of C (channel of lane l is then l % C)."""
+        c = self.family.latent_channels
+        return max(c, self._device_lanes())
+
+    def _lane_table(self, min_v, max_v, lanes):
+        """Per-lane CDF rows [L, N+1] from the per-channel C++ tables
+        (deterministic double precision -> cross-platform streams)."""
+        table = self._z_tables(min_v, max_v)
+        c = table.shape[0]
+        return jnp.asarray(table[np.arange(lanes) % c])
+
     def compress_factorized(self, cubes):
         """cubes float/uint8 [B, cs, cs, cs, 1] -> (strings, min, max, shape).
 
-        Reference: transform.py:24-56.
+        Reference: transform.py:24-56. With coder='device' the y symbols
+        are rANS-coded on the accelerator against the same quantized CDF
+        tables (strings get a self-describing magic prefix; decode
+        auto-detects it, so both coders' outputs are cross-compatible).
         """
+        if self.coder == "device":
+            return self._compress_factorized_device(cubes)
         x8 = _occupancy_u8(cubes)
         values = self._chunked("analysis_q", x8).astype(np.int32)
         strings, min_v, max_v = self._encode_factorized_stream(values)
         return strings, min_v, max_v, values.shape
 
+    def _compress_factorized_device(self, cubes):
+        x8 = _occupancy_u8(cubes)
+        b = x8.shape[0]
+        elems = int(np.prod(self._y_spatial))
+        lanes = self._table_lanes()
+        chunks, mns, mxs = [], [], []
+        for i, (piece,) in self._iter_chunks([x8]):
+            n = min(self.chunk, b - i)
+            yv, mn, mx = self._jitted(f"analysis_q_mm:{n}")(
+                self.params, *self._put([piece]))
+            chunks.append((i, yv))
+            mns.append(mn)
+            mxs.append(mx)
+        min_v = min(int(np.asarray(m)) for m in mns)
+        max_v = max(int(np.asarray(m)) for m in mxs)
+        if max_v == min_v:
+            max_v += 1  # a single-symbol alphabet would make freq == TOTAL
+        trows = self._lane_table(min_v, max_v, lanes)
+        blob, _ = self._chained_encode(
+            chunks, "cdf_encode", (trows, jnp.int32(min_v)), b, elems,
+            lanes)
+        strings = (bitstream.FACTORIZED_DEVICE_MAGIC
+                   + bytes([int(np.log2(lanes)) & 0xFF]) + blob)
+        return strings, min_v, max_v, (b,) + self._y_spatial
+
+    def _decode_factorized_device(self, strings, min_v, max_v, shape,
+                                  final, extra_arrays=(), scalars=()):
+        head = len(bitstream.FACTORIZED_DEVICE_MAGIC)
+        lanes = 1 << strings[head]
+        words, states, ptr = self._upload_words(strings[head + 1:], lanes)
+        trows = self._lane_table(min_v, max_v, lanes)
+        b = shape[0]
+        mv = jnp.int32(min_v)
+        extra_arrays = [np.asarray(a) for a in extra_arrays]
+        futs = []
+        for i in range(0, b, self.chunk):
+            n = min(self.chunk, b - i)
+            ex = [a[i:i + n] for a in extra_arrays]
+            fin = self._jitted(f"cdf_{final}:{n}")
+            out, states, ptr = fin(self.params, words, trows, mv,
+                                   states, ptr, *ex, *scalars)
+            futs.append(self._start_fetch(out))
+        rans.check_final_states(states)
+        return _tree_concat([jax.device_get(f) for f in futs])
+
     def decompress_factorized(self, strings, min_v, max_v, shape):
         """Reference: transform.py:58-87. Returns logits [B, cs, cs, cs, 1]."""
+        if bytes(strings[:len(bitstream.FACTORIZED_DEVICE_MAGIC)]) == \
+                bitstream.FACTORIZED_DEVICE_MAGIC:
+            return self._decode_factorized_device(
+                strings, min_v, max_v, shape, "synthesis")
         ys = self._decode_factorized_stream(strings, min_v, max_v, shape)
         return self._chunked("synthesis", ys.astype(np.int8))
 
@@ -412,10 +529,17 @@ class PointCloudCodec:
                                     points_numbers, rho=1.0):
         """Decode directly to uint8 occupancy masks (classification on
         device; downloads 1 bit per voxel instead of 4 bytes)."""
-        ys = self._decode_factorized_stream(strings, min_v, max_v, shape)
         nums = np.asarray(points_numbers, np.int32)
-        packed = self._chunked("classify", ys.astype(np.int8), nums,
-                               scalars=(jnp.float32(rho),))
+        if bytes(strings[:len(bitstream.FACTORIZED_DEVICE_MAGIC)]) == \
+                bitstream.FACTORIZED_DEVICE_MAGIC:
+            packed = self._decode_factorized_device(
+                strings, min_v, max_v, shape, "classify",
+                extra_arrays=[nums], scalars=(jnp.float32(rho),))
+        else:
+            ys = self._decode_factorized_stream(strings, min_v, max_v,
+                                                shape)
+            packed = self._chunked("classify", ys.astype(np.int8), nums,
+                                   scalars=(jnp.float32(rho),))
         return np.unpackbits(packed, axis=-1)
 
     # ----------------------------------------------------------------- hyper
@@ -483,25 +607,70 @@ class PointCloudCodec:
             return hs, recon
         return hs
 
+    def _device_lanes(self):
+        elems = int(np.prod(self._y_spatial))
+        return rans.pick_lanes(elems, self.lanes)
+
+    def _chained_encode(self, chunks, enc_name, enc_extra, b, elems, lanes):
+        """Pass B of device encoding: chained rANS over chunks in REVERSE
+        order (rANS is LIFO; decode reads chunks forward). chunks: list of
+        (i, *enc_arrays) with device-resident arrays padded to self.chunk.
+        Returns (stream_blob bytes, total_words).
+
+        The word-buffer capacity is a static shape; on the rare overflow
+        the chunk is re-dispatched at worst-case capacity from the SAME
+        carry-in (the state chain is unaffected — capacity only truncates
+        word storage, never the state arithmetic).
+        """
+        states = rans.initial_states(lanes)
+        futs = []
+        for entry in reversed(chunks):
+            i, arrays = entry[0], entry[1:]
+            n = min(self.chunk, b - i)
+            m = n * elems
+            cap = max(m // 8, 2 * lanes)
+            enc = self._jitted(f"{enc_name}:{n}:{cap}")
+            carry_in = states
+            words, count, states = enc(self.params, *arrays,
+                                       *enc_extra, carry_in)
+            futs.append((n, m, arrays, carry_in,
+                         self._start_fetch((words, count))))
+        segments = []
+        for n, m, arrays, carry_in, (words, count) in futs:
+            cnt = int(np.asarray(count))
+            if cnt > words.shape[0]:
+                enc_full = self._jitted(f"{enc_name}:{n}:{m}")
+                words, count, _ = enc_full(self.params, *arrays,
+                                           *enc_extra, carry_in)
+                cnt = int(np.asarray(count))
+            segments.append((np.asarray(words), cnt))
+        segments.reverse()  # stream is in forward chunk order
+        # the stream-head states are the carry-out of the last dispatch
+        # (= chunk 0, since encoding ran in reverse)
+        blob = rans.pack_stream([w for w, _ in segments],
+                                [c for _, c in segments],
+                                np.asarray(states))
+        return blob, sum(c for _, c in segments)
+
     def _compress_hyper_device(self, cubes, return_recon=False):
-        """Hyper encode with on-device rANS entropy coding.
+        """Hyper encode with chained on-device rANS entropy coding.
 
         Only zhat (for the host-coded z stream) and the compressed words
         cross the device->host link; y and the per-element prior codes stay
-        device-resident end to end. ~5x less downlink than the host coder.
+        device-resident end to end. The whole workload is ONE rANS coding
+        unit (one 4*lanes-byte state flush; entropy/rans.py).
         """
         x8 = _occupancy_u8(cubes)
         ana = self._jitted("analysis_hyper")
         b = x8.shape[0]
         elems = int(np.prod(self._y_spatial))
-        cap0 = max(elems // 8, 2 * self.lanes)
-        enc = self._jitted(f"rans_encode:{cap0}:{self.lanes}")
+        lanes = self._device_lanes()
         a_scales = ()
         if self.prior == "int":
             qp = self._jitted("qprior")
         else:
             prior = self._jitted("prior")
-        futs = []
+        chunks, zfuts, recon_futs = [], [], []
         for i, (piece,) in self._iter_chunks([x8]):
             yv, zh = ana(self.params, *self._put([piece]))
             if self.prior == "int":
@@ -511,40 +680,28 @@ class PointCloudCodec:
                 lq, sq = qp(self.params, a_dev, zh)
             else:
                 lq, sq = prior(self.params, zh)
-            coded = enc(self.params, yv, lq, sq)
-            futs.append((i, yv, lq, sq,
-                         self._start_fetch((zh,) + coded)))
-
-        y_strings, z_parts, recon_futs = [], [], []
-        for i, yv, lq, sq, (zh, words, counts, states) in futs:
-            n = min(self.chunk, b - i)
-            cnts = np.asarray(counts)
-            if int(cnts[:n].max(initial=0)) > cap0:
-                # rare: surprising latents overflowed the default word
-                # buffer; re-dispatch this chunk at worst-case capacity
-                # (the inputs are still device-resident)
-                enc_full = self._jitted(f"rans_encode:{elems}:{self.lanes}")
-                words, counts, states = self._start_fetch(
-                    enc_full(self.params, yv, lq, sq))
-                cnts = np.asarray(counts)
-            y_strings += rans.pack_streams(
-                np.asarray(words)[:n], cnts[:n], np.asarray(states)[:n])
-            z_parts.append(np.asarray(zh)[:n])
+            chunks.append((i, yv, lq, sq))
+            zfuts.append(self._start_fetch(zh))
             if return_recon:
                 recon_futs.append(self._start_fetch(
                     self._jitted("synthesis")(self.params, yv)))
 
-        zhat = np.concatenate(z_parts, axis=0)
+        blob, _ = self._chained_encode(chunks, "rans_encode", (), b,
+                                       elems, lanes)
+
+        zhat = np.concatenate(
+            [np.asarray(z)[:min(self.chunk, b - i)]
+             for (i, _, _, _), z in zip(chunks, zfuts)], axis=0)
         z_strings, z_min, z_max = self._encode_factorized_stream(
             zhat.astype(np.int32))
         hs = bitstream.HyperStreams(
-            y_strings=y_strings,
+            y_strings=[blob],
             y_min_vs=np.zeros(b, np.int32),
             y_max_vs=np.zeros(b, np.int32),
             y_shape=(1,) + self._y_spatial,
             z_strings=z_strings, z_min_v=z_min, z_max_v=z_max,
             z_shape=zhat.shape, points_numbers=None, cube_positions=None,
-            coder="device", lanes=self.lanes, chunk=self.chunk,
+            coder="device", lanes=lanes, chunk=self.chunk,
             prior=self.prior,
             prior_scales=tuple(int(s) for s in a_scales))
         if return_recon:
@@ -553,11 +710,23 @@ class PointCloudCodec:
             return hs, recon
         return hs
 
+    @staticmethod
+    def _upload_words(blob, lanes):
+        """Unpack a chained stream blob and upload the word array once,
+        padded to a power-of-two bucket (bounds recompiles)."""
+        words, states = rans.unpack_stream(blob, lanes)
+        wpad = 1 << max(10, int(np.ceil(np.log2(max(len(words), 1)))))
+        wp = np.zeros(wpad, np.uint16)
+        wp[:len(words)] = words
+        return jnp.asarray(wp), jnp.asarray(states), jnp.int32(0)
+
     def _decode_hyper_device(self, hs: bitstream.HyperStreams, final,
                              extra_arrays=(), scalars=()):
-        """Decode device-coded streams: upload words, run prior + fused
-        rANS-decode->synthesis[->classify] on device; only the final logits
-        or bit-packed masks come back."""
+        """Decode chained device streams: upload the word array once, run
+        prior + fused rANS-decode->synthesis[->classify] per chunk with the
+        (states, ptr) carry threading on device; only the final logits or
+        bit-packed masks come back. Ends with a stream integrity check
+        (every lane must return to RANS_L)."""
         zhat = self._decode_factorized_stream(
             hs.z_strings, hs.z_min_v, hs.z_max_v, hs.z_shape)
         b = zhat.shape[0]
@@ -571,30 +740,26 @@ class PointCloudCodec:
             a_dev = jnp.asarray(hs.prior_scales, jnp.int32)
         else:
             # the shared "prior" program must see the encode-time batch
-            # shape (determinism contract); v2 streams record it
+            # shape (determinism contract); the stream records it
             chunk = int(getattr(hs, "chunk", 0)) or self.chunk
             prior = self._jitted("prior")
-        elems = int(np.prod(hs.y_shape))
-        head = 4 * lanes
-        maxw = max((max(len(s) for s in hs.y_strings) - head) // 2, 1)
-        capd = min(1 << max(9, int(np.ceil(np.log2(maxw)))), elems)
-        words_all, states_all = rans.unpack_streams(
-            hs.y_strings, lanes, capd)
-        fin = self._jitted(f"rans_{final}:{capd}:{lanes}")
+        words, states, ptr = self._upload_words(hs.y_strings[0], lanes)
         extra_arrays = [np.asarray(a) for a in extra_arrays]
 
         futs = []
         for i, pieces in self._iter_chunks(
-                [zhat.astype(np.int8), words_all, states_all]
-                + extra_arrays, chunk=chunk):
-            zp, wp, sp, *ex = pieces
+                [zhat.astype(np.int8)] + extra_arrays, chunk=chunk):
+            zp, *ex = pieces
+            n = min(chunk, b - i)
             if int_prior:
                 lq, sq = qp(self.params, a_dev, *self._put([zp]))
             else:
                 lq, sq = prior(self.params, *self._put([zp]))
-            out = fin(self.params, jnp.asarray(wp), jnp.asarray(sp),
-                      lq, sq, *ex, *scalars)
+            fin = self._jitted(f"rans_{final}:{n}")
+            out, states, ptr = fin(self.params, words, states, ptr,
+                                   lq, sq, *ex, *scalars)
             futs.append(self._start_fetch(out))
+        rans.check_final_states(states)
         out = _tree_concat([jax.device_get(f) for f in futs])
         return jax.tree.map(lambda a: a[:b], out)
 

@@ -1,40 +1,47 @@
 """On-device interleaved rANS entropy coder (pure JAX, integer-exact).
 
-TPU-native replacement for host-side range coding of the hyper-mode latents.
-The reference codes `y` on the CPU with TF's C++ range coder fed by float
-Laplace CDFs computed on the accelerator (conditional_entropy_model.py:95-201
-in NJUVISION/PCGCv1) — every encode AND decode must ship per-voxel float
+TPU-native replacement for host-side range coding of the latents. The
+reference codes `y` on the CPU with TF's C++ range coder fed by float CDFs
+computed on the accelerator (conditional_entropy_model.py:95-201 in
+NJUVISION/PCGCv1) — every encode AND decode must ship per-voxel float
 (loc, scale) across the device/host boundary, and float non-determinism
 between the encoder's and decoder's CDF evaluation is the reference's known
 decode-mismatch bug (its README.md:111-114).
 
 This module instead runs the entire entropy-coding loop on the accelerator:
 
-- **Quantized Laplace CDFs in pure integer arithmetic** (`qcdf`): the prior
-  arrives as transport codes (loc_q = round(8*loc) int8, scale_q =
-  round(8*(log2(scale)+20)) uint8, the same grid as the C++ host coder) and
-  the CDF at every symbol boundary is evaluated with int32/uint32 ops plus
-  two small lookup tables — bit-exact on any backend by construction, so the
-  encoder and decoder see identical code tables even across differently
-  fused XLA programs.
+- **Quantized CDFs in pure integer arithmetic**: either evaluated per
+  element from Laplace prior transport codes (`qcdf`: loc_q = round(8*loc)
+  int8, scale_q = round(8*(log2(scale)+20)) uint8 — int32/uint32 ops plus
+  a cubic exp2, bit-exact on any backend), or looked up from per-lane
+  quantized CDF **tables** (factorized model; tables built by the
+  deterministic C++ runtime from the checkpoint weights).
 - **Interleaved rANS** (Duda's asymmetric numeral system, Giesen's
-  interleaving): L independent 32-bit lane states per cube share one word
-  stream. Each lane codes a contiguous block of symbols; all lanes advance
-  in lockstep, one symbol per `lax.scan` step, emitting/consuming at most
-  one uint16 word per step (precision 16 makes the renormalization
-  single-shot, hence branch-free and vectorizable). The encoder runs the
-  schedule in reverse (rANS is LIFO) and the decoder reads the words
-  straight through — word positions are implied by the lockstep schedule,
-  so there is NO per-lane index in the stream.
+  interleaving): L independent 32-bit lane states share one word stream.
+  Element e of the flat symbol sequence belongs to lane `e % L` at step
+  `e // L`; all lanes advance in lockstep, one symbol per `lax.scan` step,
+  emitting/consuming at most one uint16 word per step (precision 16 makes
+  renormalization single-shot, hence branch-free and vectorizable). The
+  encoder runs the schedule in reverse (rANS is LIFO) and the decoder reads
+  the words straight through — word positions are implied by the lockstep
+  schedule, so there is NO per-lane index in the stream.
+- **Chained coding units**: the lane states THREAD across chunk dispatches
+  (encode processes chunks in reverse order, decode forward, carrying
+  (states, word-pointer) device-resident), so a whole multi-chunk workload
+  is ONE coding unit with a single `4*L`-byte state flush — per-cube
+  flushes would triple the stream at trained-model rates. Because the
+  element->(step, lane) mapping is global and the carry is exact, decode
+  may use ANY chunk partitioning of the element sequence (each dispatch a
+  multiple of L elements). A full decode must end with every lane back at
+  RANS_L — a free integrity check on the stream.
 
-Stream layout per cube: `lanes` little-endian uint32 final encoder states,
-then the data words (uint16 LE) in (step, lane) ascending order.
+Stream layout per workload: `L` little-endian uint32 final encoder states,
+then the data words (uint16 LE) in ascending (step, lane) order.
 
-Rate overhead vs. the host range coder: 4 bytes/lane state flush plus the
-CDF quantization (1/65536-floor per symbol over a fixed [-128,127] support
-— no per-cube min/max side info needed, unlike the reference's format).
-Wire cost: only the compressed words cross the PCIe/host link; the
-per-element prior never leaves the device.
+Rate overhead vs. the host range coder: one 4-byte-per-lane state flush per
+workload plus the CDF quantization floor. Wire cost: only the compressed
+words cross the PCIe/host link; the per-element prior never leaves the
+device.
 """
 
 from __future__ import annotations
@@ -48,8 +55,8 @@ import numpy as np
 PRECISION = 16
 TOTAL = 1 << PRECISION          # CDF denominator
 RANS_L = jnp.uint32(1 << 16)    # lower bound of the state interval
-N_SYMBOLS = 256                 # fixed support: symbol s in [-128, 127]
-DEFAULT_LANES = 32
+N_SYMBOLS = 256                 # Laplace support: symbol s in [-128, 127]
+DEFAULT_LANES = 1024            # total interleaved lanes per workload
 
 # log2(e) * 2^20 * 2^(-qf/8), qf in [0,8) — folds the fractional octave of
 # the scale code into the Q20 multiplier (v = |8d| * M >> (3 + qi) is then
@@ -118,7 +125,7 @@ def _laplace_cdf_q16(u, loc_q, scale_q):
 
 
 def qcdf(u, loc_q, scale_q):
-    """Quantized CDF: uint32 in [0, 65536], strictly increasing in u.
+    """Quantized Laplace CDF: uint32 in [0, 65536], strictly increasing.
 
     qcdf(0) = 0, qcdf(256) = 65536, every symbol frequency >= 1 (the
     (TOTAL - N_SYMBOLS) rescale plus the +u ramp).
@@ -131,42 +138,80 @@ def qcdf(u, loc_q, scale_q):
     return jnp.where(uc >= N_SYMBOLS, jnp.uint32(TOTAL), g)
 
 
-def _to_lanes(arr, lanes):
-    """[B, E] -> [T, B, lanes]; lane l codes elements [l*T, (l+1)*T)."""
-    b, e = arr.shape
-    t = e // lanes
-    return jnp.transpose(arr.reshape(b, lanes, t), (2, 0, 1))
+def pick_lanes(elems_per_cube, max_lanes=DEFAULT_LANES):
+    """Total lane count: largest power of two <= max_lanes dividing the
+    per-cube element count (so every chunk's element count divides too)."""
+    lanes = 1
+    while lanes * 2 <= max_lanes and elems_per_cube % (lanes * 2) == 0:
+        lanes *= 2
+    return lanes
 
 
-def rans_encode(symbols_u, loc_q, scale_q, lanes=DEFAULT_LANES, cap=None):
-    """Encode per-element-Laplace symbols on device.
+# ------------------------- CDF models for the scan --------------------------
+# A model supplies:
+#   enc(u, *step_inputs)  -> (c, f): CDF at u and frequency of u (uint32)
+#   dec(dv, *step_inputs) -> (u, c, f): symbol containing cumulative dv
+# step_inputs are [L]-shaped slices scanned over [T, L] arrays.
 
-    Args:
-      symbols_u: int32 [B, E] symbols + 128 (in [0, 256)). E % lanes == 0.
-      loc_q: int32 [B, E] location codes (int8 range).
-      scale_q: int32 [B, E] scale codes (uint8 range).
-      lanes: interleaved rANS lanes per cube.
-      cap: static word-buffer capacity per cube (default E // 8). If a
-        cube's stream exceeds cap, its count is still exact but the excess
-        words are dropped — callers must check counts <= cap and re-run
-        with a larger cap (worst case E // lanes words per lane = E total).
 
-    Returns:
-      words: uint16 [B, cap] compacted stream words (ascending step, lane).
-      counts: int32 [B] true word counts (may exceed cap on overflow).
-      states: uint32 [B, lanes] final encoder states (decoder initials).
+def _laplace_enc(u, lq, sq):
+    c = qcdf(u, lq, sq)
+    f = qcdf(u + 1, lq, sq) - c
+    return c, f
+
+
+def _laplace_dec(dv, lq, sq):
+    # largest u with qcdf(u) <= dv: branch-free bisection over 256 bins
+    # (each eval is pure VPU arithmetic — no gathers)
+    lo = jnp.zeros(dv.shape, jnp.int32)
+    for bit in (128, 64, 32, 16, 8, 4, 2, 1):
+        mid = lo + bit
+        lo = jnp.where(qcdf(mid, lq, sq) <= dv, mid, lo)
+    c = qcdf(lo, lq, sq)
+    f = qcdf(lo + 1, lq, sq) - c
+    return lo, c, f
+
+
+def _table_model(table):
+    """Per-lane CDF table rows: uint32 [L, N+1], t[:,0] = 0, t[:,N] = TOTAL,
+    strictly increasing. Lookups are masked sums over the (static) symbol
+    axis — no gathers, fully lane-vectorized."""
+    table = jnp.asarray(table, jnp.uint32)
+    n = table.shape[1] - 1
+    js = jnp.arange(n, dtype=jnp.int32)                      # [N]
+
+    def enc(u, *_):
+        eq = (js[None, :] == u[:, None])                     # [L, N]
+        c = jnp.where(eq, table[:, :n], 0).sum(axis=1)
+        cn = jnp.where(eq, table[:, 1:], 0).sum(axis=1)
+        return c, cn - c
+
+    def dec(dv, *_):
+        # largest u with t[u] <= dv  (t[0] = 0 <= dv always)
+        u = (table[:, 1:n] <= dv[:, None]).sum(
+            axis=1, dtype=jnp.int32) if n > 1 else \
+            jnp.zeros(dv.shape, jnp.int32)
+        c, f = enc(u)
+        return u, c, f
+
+    return enc, dec
+
+
+# ------------------------------ chained scans --------------------------------
+
+def _encode_scan(u_ts, step_inputs, enc_fn, states, cap):
+    """Reverse-scan encode of [T, L] symbols; returns (words, count, states).
+
+    states: uint32 [L] carry-in (the NEXT chunk's carry-out, since encode
+    runs chunks in reverse). words: uint16 [cap] in ascending (step, lane)
+    order; count: true word total (caller re-runs with larger cap if
+    count > cap — the excess words were dropped, counts stay exact).
     """
-    b, e = symbols_u.shape
-    if cap is None:
-        cap = e // 8
-    ut = _to_lanes(symbols_u.astype(jnp.int32), lanes)
-    lt = _to_lanes(loc_q.astype(jnp.int32), lanes)
-    st = _to_lanes(scale_q.astype(jnp.int32), lanes)
+    t, lanes = u_ts.shape
 
     def step(x, inp):
-        uu, ll, ss = inp
-        c = qcdf(uu, ll, ss)
-        f = qcdf(uu + 1, ll, ss) - c
+        uu, rest = inp[0], inp[1:]
+        c, f = enc_fn(uu, *rest)
         flag = x >= (f << PRECISION)          # emit exactly 0 or 1 word
         word = (x & jnp.uint32(0xFFFF)).astype(jnp.uint16)
         x1 = jnp.where(flag, x >> 16, x)
@@ -174,104 +219,150 @@ def rans_encode(symbols_u, loc_q, scale_q, lanes=DEFAULT_LANES, cap=None):
         x2 = (q << PRECISION) + (x1 - q * f) + c
         return x2, (word, flag)
 
-    # rANS is LIFO: encode the schedule in reverse so decode reads forward.
-    x0 = jnp.full((b, lanes), RANS_L, jnp.uint32)
-    states, (words, flags) = jax.lax.scan(step, x0, (ut, lt, st),
-                                          reverse=True)
-
-    # compact to per-cube streams in (step, lane) ascending order
-    wf = jnp.transpose(words, (1, 0, 2)).reshape(b, e)
-    ff = jnp.transpose(flags, (1, 0, 2)).reshape(b, e)
-    pos = jnp.cumsum(ff, axis=1) - ff.astype(jnp.int32)
+    states, (words, flags) = jax.lax.scan(
+        step, states, (u_ts,) + step_inputs, reverse=True)
+    wf = words.reshape(t * lanes)
+    ff = flags.reshape(t * lanes)
+    pos = jnp.cumsum(ff) - ff.astype(jnp.int32)
     idx = jnp.where(ff, pos, cap)
-    out = jnp.zeros((b, cap + 1), jnp.uint16)
-    out = out.at[jnp.arange(b)[:, None], idx].set(wf, mode="drop")[:, :cap]
-    counts = ff.sum(axis=1).astype(jnp.int32)
-    return out, counts, states
+    out = jnp.zeros((cap + 1,), jnp.uint16)
+    out = out.at[idx].set(wf, mode="drop")[:cap]
+    count = ff.sum(dtype=jnp.int32)
+    return out, count, states
 
 
-def rans_decode(words, states, loc_q, scale_q, lanes=DEFAULT_LANES):
-    """Decode symbols coded by :func:`rans_encode`.
+def _decode_scan(words, states, ptr, step_inputs, dec_fn, t):
+    """Forward-scan decode of t steps; returns (u [T, L], states, ptr).
 
-    Args:
-      words: uint16 [B, capd] per-cube stream words (zero-padded).
-      states: uint32 [B, lanes] initial lane states from the stream head.
-      loc_q / scale_q: int32 [B, E] prior codes (identical to encode side —
-        produced by the shared "prior" program, never leaving the device).
-
-    Returns:
-      symbols_u: int32 [B, E] decoded symbols + 128.
+    words: the WHOLE workload's word array (uint16 [W]); ptr: scalar int32
+    position of the next unread word (carried across chunk dispatches).
     """
-    b, e = loc_q.shape
-    capd = words.shape[1]
-    lt = _to_lanes(loc_q.astype(jnp.int32), lanes)
-    st = _to_lanes(scale_q.astype(jnp.int32), lanes)
+    capd = words.shape[0]
 
     def step(carry, inp):
-        x, ptr = carry
-        ll, ss = inp
+        x, p = carry
         dv = x & jnp.uint32(0xFFFF)
-        # largest u with qcdf(u) <= dv: branch-free bisection over 256 bins
-        # (each eval is pure VPU arithmetic — no gathers — so 10 evals per
-        # symbol stay cheap)
-        lo = jnp.zeros(x.shape, jnp.int32)
-        for bit in (128, 64, 32, 16, 8, 4, 2, 1):
-            mid = lo + bit
-            lo = jnp.where(qcdf(mid, ll, ss) <= dv, mid, lo)
-        c = qcdf(lo, ll, ss)
-        f = qcdf(lo + 1, ll, ss) - c
+        u, c, f = dec_fn(dv, *inp)
         x1 = f * (x >> PRECISION) + dv - c
         flag = x1 < RANS_L                    # read exactly 0 or 1 word
-        off = jnp.cumsum(flag, axis=1) - flag.astype(jnp.int32)
-        idx = jnp.minimum(ptr[:, None] + off, capd - 1)
-        w = jnp.take_along_axis(words, idx, axis=1).astype(jnp.uint32)
+        off = jnp.cumsum(flag) - flag.astype(jnp.int32)
+        idx = jnp.minimum(p + off, capd - 1)
+        w = jnp.take(words, idx).astype(jnp.uint32)
         x2 = jnp.where(flag, (x1 << 16) | w, x1)
-        ptr2 = ptr + flag.sum(axis=1, dtype=jnp.int32)
-        return (x2, ptr2), lo
+        return (x2, p + flag.sum(dtype=jnp.int32)), u
 
-    ptr0 = jnp.zeros((b,), jnp.int32)
-    (_, _), us = jax.lax.scan(step, (states, ptr0), (lt, st))
-    # us [T, B, lanes] -> [B, E] matching _to_lanes layout
-    return jnp.transpose(us, (1, 2, 0)).reshape(b, e)
+    (states, ptr), us = jax.lax.scan(step, (states, ptr), step_inputs,
+                                     length=t)
+    return us, states, ptr
 
 
-@functools.partial(jax.jit, static_argnames=("lanes", "cap"))
-def rans_encode_jit(symbols_u, loc_q, scale_q, lanes, cap):
-    return rans_encode(symbols_u, loc_q, scale_q, lanes, cap)
+def _ts(arr, lanes):
+    """Flat [M] -> [T, L]: element e = step * L + lane (round-robin)."""
+    m = arr.shape[0]
+    return arr.reshape(m // lanes, lanes)
 
 
-@functools.partial(jax.jit, static_argnames=("lanes",))
-def rans_decode_jit(words, states, loc_q, scale_q, lanes):
-    return rans_decode(words, states, loc_q, scale_q, lanes)
+# ------------------------------- public API ---------------------------------
+
+def rans_encode(symbols_u, loc_q, scale_q, states, cap):
+    """Chained Laplace-prior encode of one chunk.
+
+    Args:
+      symbols_u / loc_q / scale_q: int32 [M] (M % L == 0); symbols + 128.
+      states: uint32 [L] carry (RANS_L-filled for the LAST chunk; encode
+        feeds chunks in reverse order).
+      cap: static word-buffer capacity.
+
+    Returns (words uint16 [cap], count int32, states uint32 [L]).
+    """
+    lanes = states.shape[0]
+    return _encode_scan(
+        _ts(symbols_u.astype(jnp.int32), lanes),
+        (_ts(loc_q.astype(jnp.int32), lanes),
+         _ts(scale_q.astype(jnp.int32), lanes)),
+        _laplace_enc, states, cap)
+
+
+def rans_decode(words, states, ptr, loc_q, scale_q):
+    """Chained Laplace-prior decode of one chunk.
+
+    words: uint16 [W] (whole workload); states/ptr: carry-in; loc_q/scale_q:
+    int32 [M] prior codes (identical to encode side). Returns
+    (symbols_u int32 [M], states, ptr).
+    """
+    lanes = states.shape[0]
+    lt = _ts(loc_q.astype(jnp.int32), lanes)
+    st = _ts(scale_q.astype(jnp.int32), lanes)
+    us, states, ptr = _decode_scan(words, states, ptr, (lt, st),
+                                   _laplace_dec, lt.shape[0])
+    return us.reshape(-1), states, ptr
+
+
+def rans_encode_cdf(symbols, table, states, cap):
+    """Chained table-CDF encode: symbols int32 [M] in [0, N), table uint32
+    [L, N+1] per-lane rows. Returns (words, count, states)."""
+    lanes = states.shape[0]
+    enc, _ = _table_model(table)
+    return _encode_scan(_ts(symbols.astype(jnp.int32), lanes), (),
+                        enc, states, cap)
+
+
+def rans_decode_cdf(words, table, states, ptr, m):
+    """Chained table-CDF decode of m symbols (static). Returns
+    (symbols int32 [m], states, ptr)."""
+    lanes = states.shape[0]
+    _, dec = _table_model(table)
+    us, states, ptr = _decode_scan(words, states, ptr, (),
+                                   dec, m // lanes)
+    return us.reshape(-1), states, ptr
+
+
+def initial_states(lanes):
+    return jnp.full((lanes,), RANS_L, jnp.uint32)
+
+
+def check_final_states(states):
+    """A fully-consumed stream leaves every lane at RANS_L; anything else
+    means corruption or a mismatched prior. Host-side, cheap."""
+    states = np.asarray(states)
+    if not (states == np.uint32(1 << 16)).all():
+        raise ValueError(
+            "rANS stream integrity check failed: lane states did not "
+            "return to RANS_L after full decode (corrupt stream, wrong "
+            "prior, or mismatched coder configuration)")
 
 
 # ------------------------- host-side stream framing -------------------------
 
-def pack_streams(words, counts, states):
-    """Per-cube byte strings: lanes x uint32-LE states, then count uint16-LE
-    words. Raises on capacity overflow (caller retries with a larger cap)."""
-    words = np.asarray(words)
-    counts = np.asarray(counts)
+def pack_stream(word_segments, counts, states):
+    """Workload blob: L x uint32-LE final states, then the word segments
+    (chunk order, each truncated to its true count) as uint16-LE. Raises on
+    capacity overflow (caller retries with a larger cap)."""
     states = np.asarray(states)
-    if (counts > words.shape[1]).any():
-        raise OverflowError(
-            f"rANS word buffer overflow (max count {counts.max()} > cap "
-            f"{words.shape[1]})")
-    out = []
-    for i in range(words.shape[0]):
-        out.append(states[i].astype("<u4").tobytes()
-                   + words[i, :counts[i]].astype("<u2").tobytes())
-    return out
+    out = [states.astype("<u4").tobytes()]
+    for words, count in zip(word_segments, counts):
+        words = np.asarray(words)
+        if count > words.shape[0]:
+            raise OverflowError(
+                f"rANS word buffer overflow ({count} > cap "
+                f"{words.shape[0]})")
+        out.append(words[:count].astype("<u2").tobytes())
+    return b"".join(out)
 
 
-def unpack_streams(strings, lanes, capd):
-    """Inverse of pack_streams: -> (words uint16 [B, capd], states [B, lanes])."""
-    b = len(strings)
-    words = np.zeros((b, capd), np.uint16)
-    states = np.empty((b, lanes), np.uint32)
+def unpack_stream(blob, lanes):
+    """Inverse of pack_stream -> (words uint16 [W], states uint32 [L])."""
     head = 4 * lanes
-    for i, s in enumerate(strings):
-        states[i] = np.frombuffer(s[:head], "<u4")
-        w = np.frombuffer(s[head:], "<u2")
-        words[i, :len(w)] = w
+    states = np.frombuffer(blob[:head], "<u4")
+    words = np.frombuffer(blob[head:], "<u2")
     return words, states
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def rans_encode_jit(symbols_u, loc_q, scale_q, states, cap):
+    return rans_encode(symbols_u, loc_q, scale_q, states, cap)
+
+
+@functools.partial(jax.jit)
+def rans_decode_jit(words, states, ptr, loc_q, scale_q):
+    return rans_decode(words, states, ptr, loc_q, scale_q)

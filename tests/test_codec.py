@@ -242,3 +242,48 @@ class TestDeviceCoder:
         ref = enc.decompress_hyper(hs)
         got = dec.decompress_hyper(hs2)
         np.testing.assert_array_equal(got, ref)
+
+
+class TestDeviceCoderFactorized:
+    """Chained table-CDF device coding of factorized-mode latents."""
+
+    def test_roundtrip_and_cross_coder(self, pre, tmp_path):
+        dev = _codec("factorized", coder="device", lanes=16)
+        host = _codec("factorized", coder="host")
+        host.params = dev.params
+        s_d, mn_d, mx_d, shape = dev.compress_factorized(pre.cubes)
+        s_h, mn_h, mx_h, _ = host.compress_factorized(pre.cubes)
+        assert (mn_d, mx_d) == (mn_h, mx_h) or mx_d == mn_d + 1
+        # decode both with BOTH codecs (strings are self-describing)
+        ref = host.decompress_factorized(s_h, mn_h, mx_h, shape)
+        for codec in (dev, host):
+            got = codec.decompress_factorized(s_d, mn_d, mx_d, shape)
+            np.testing.assert_array_equal(got, ref)
+        # container roundtrip (strings are opaque bytes)
+        fs = bitstream.FactorizedStreams(
+            s_d, mn_d, mx_d, shape, pre.points_numbers, pre.cube_positions)
+        bitstream.write_factorized("fdev", fs, rootdir=str(tmp_path))
+        back = bitstream.read_factorized("fdev", rootdir=str(tmp_path))
+        assert back.strings == s_d
+        got = dev.decompress_factorized(back.strings, back.min_v,
+                                        back.max_v, back.shape)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_masks_path(self, pre):
+        dev = _codec("factorized", coder="device", lanes=16)
+        s, mn, mx, shape = dev.compress_factorized(pre.cubes)
+        masks = dev.decompress_factorized_masks(
+            s, mn, mx, shape, pre.points_numbers, rho=1.0)
+        logits = dev.decompress_factorized(s, mn, mx, shape)
+        from pcgcv1_tpu.ops import select_voxels
+        ref = select_voxels(logits, pre.points_numbers, rho=1.0)
+        assert np.array_equal(masks.astype(np.float32), ref)
+
+    def test_rate_close_to_host_coder(self, pre):
+        dev = _codec("factorized", coder="device", lanes=16)
+        host = _codec("factorized", coder="host")
+        host.params = dev.params
+        s_d, *_ = dev.compress_factorized(pre.cubes)
+        s_h, *_ = host.compress_factorized(pre.cubes)
+        # same tables, same symbols: only framing + lane flush differ
+        assert len(s_d) <= len(s_h) * 1.03 + 16 * 4 + 64
