@@ -72,7 +72,7 @@ def main():
     # warmup: compile everything once (fall back to the host range coder
     # if the device-rANS path cannot run on this platform)
     try:
-        hs = codec.compress_hyper(pre.cubes)
+        hs = codec.compress_hyper(pre)
         codec.decompress_hyper_masks(hs, nums, 1.0)
     except Exception as e:  # noqa: BLE001
         if coder == "device":
@@ -80,7 +80,7 @@ def main():
                   "falling back to host coder", file=sys.stderr)
             codec = PointCloudCodec(mode="hyper", chunk=chunk, dtype=dtype,
                                     coder="host")
-            hs = codec.compress_hyper(pre.cubes)
+            hs = codec.compress_hyper(pre)
             codec.decompress_hyper_masks(hs, nums, 1.0)
         else:
             raise
@@ -89,7 +89,7 @@ def main():
         top = 0.0
         for _ in range(iters):
             t0 = time.time()
-            h = c.compress_hyper(pre.cubes)
+            h = c.compress_hyper(pre)
             t_enc = time.time() - t0
             t0 = time.time()
             c.decompress_hyper_masks(h, nums, 1.0)
@@ -106,7 +106,7 @@ def main():
     codec2 = PointCloudCodec(mode="hyper", chunk=alt, dtype=dtype,
                              coder=coder)
     codec2.params = codec.params
-    hs = codec2.compress_hyper(pre.cubes)
+    hs = codec2.compress_hyper(pre)
     codec2.decompress_hyper_masks(hs, nums, 1.0)
     best = max(best, measure(codec2, 2))
 

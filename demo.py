@@ -67,13 +67,13 @@ def main():
                                 ckpt_dir=args.ckpt_dir or None)
         with timer(f"{mode}: encode"):
             if mode == "factorized":
-                strings, mn, mx, shape = codec.compress_factorized(pre.cubes)
+                strings, mn, mx, shape = codec.compress_factorized(pre)
                 fs = bitstream.FactorizedStreams(
                     strings, mn, mx, shape, pre.points_numbers,
                     pre.cube_positions)
                 sizes = bitstream.write_factorized("demo", fs, "compressed")
             else:
-                hs = codec.compress_hyper(pre.cubes)
+                hs = codec.compress_hyper(pre)
                 hs.points_numbers = pre.points_numbers
                 hs.cube_positions = pre.cube_positions
                 sizes = bitstream.write_hyper("demo", hs, "compressed")
@@ -101,7 +101,7 @@ def main():
               f"({len(rec)} points out)")
 
         if mode == "hyper":
-            _, recon_enc = codec.compress_hyper(pre.cubes,
+            _, recon_enc = codec.compress_hyper(pre,
                                                 return_recon=True)
             logits_dec = codec.decompress_hyper(back)
             drift = float(np.abs(logits_dec - recon_enc).max())

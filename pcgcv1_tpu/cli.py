@@ -79,12 +79,12 @@ def cmd_compress(args):
         os.path.basename(args.input))[0]
     t0 = time.time()
     if args.mode == "factorized":
-        strings, mn, mx, shape = codec.compress_factorized(pre.cubes)
+        strings, mn, mx, shape = codec.compress_factorized(pre)
         fs = bitstream.FactorizedStreams(
             strings, mn, mx, shape, pre.points_numbers, pre.cube_positions)
         sizes = bitstream.write_factorized(name, fs, rootdir=args.rootdir)
     else:
-        hs = codec.compress_hyper(pre.cubes)
+        hs = codec.compress_hyper(pre)
         hs.points_numbers = pre.points_numbers
         hs.cube_positions = pre.cube_positions
         sizes = bitstream.write_hyper(name, hs, rootdir=args.rootdir)

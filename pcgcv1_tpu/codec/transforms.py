@@ -221,7 +221,22 @@ class PointCloudCodec:
         def apply(mod, params_key, x):
             return mods[mod].apply({"params": params_key}, x)
 
-        if name == "analysis_q":
+        if name.startswith("sv:"):
+            # sparse-voxelize prologue: sorted flat voxel ids (int32,
+            # chunk-local; padding slots hold an out-of-range id) are
+            # scattered into the occupancy grid ON DEVICE, then the base
+            # analysis program runs. Ships ~10x fewer bytes over the
+            # host->device link than the dense grid (the axon relay runs
+            # at tens of MB/s). jit-of-jit inlines the base program.
+            base_fn = self._jitted(name[3:])
+            cs = self.cube_size
+
+            def fn(params, ids):
+                x = jnp.zeros((self.chunk * cs ** 3,), jnp.uint8)
+                x = x.at[ids].set(1, mode="drop")
+                return base_fn(params,
+                               x.reshape(self.chunk, cs, cs, cs, 1))
+        elif name == "analysis_q":
             # x uint8 -> rounded latents int8 (factorized encode path)
             def fn(params, x8):
                 y = apply("analysis", params["analysis"],
@@ -372,6 +387,51 @@ class PointCloudCodec:
         maxes = self._jitted("qprior_calib")(self.params, zhat_dev)
         return qprior.scales_from_maxes(np.asarray(maxes))
 
+    @staticmethod
+    def _n_cubes(x):
+        """Batch size of a dense cube array or sparse PreprocessResult."""
+        if hasattr(x, "points_numbers"):
+            return int(len(x.points_numbers))
+        return int(np.asarray(x).shape[0])
+
+    def _feed_chunks(self, x):
+        """Yield (i, prefix, args) per padded chunk for the analysis stage.
+
+        Dense input (ndarray of cubes): uploads uint8 occupancy as before.
+        Sparse input (object with .flat_ids, e.g. pipeline.PreprocessResult):
+        uploads per-chunk sorted voxel ids (int32, padded with an
+        out-of-range dummy) and the device voxelizes — ~10x less uplink.
+        The resulting streams are IDENTICAL either way.
+        """
+        sparse = getattr(x, "flat_ids", None) is not None \
+            and self._sharding is None
+        if not sparse:
+            if hasattr(x, "cubes"):
+                x = x.cubes
+            x8 = _occupancy_u8(x)
+            for i, (piece,) in self._iter_chunks([x8]):
+                yield i, "", tuple(self._put([piece]))
+            return
+        ids = np.asarray(x.flat_ids, np.int64)
+        b = self._n_cubes(x)
+        s = self.cube_size ** 3
+        starts = np.arange(0, b, self.chunk)
+        ends = np.minimum(starts + self.chunk, b)
+        # chunk boundaries from the sorted ids themselves (points_numbers
+        # is uint16 per the container format and can wrap on full cubes)
+        cum = np.searchsorted(ids, np.concatenate([starts, [b]]) * s)
+        cum = {int(i): int(v) for i, v in
+               zip(np.concatenate([starts, [b]]), cum)}
+        maxpts = int(max(cum[int(e if e in cum else b)] - cum[int(i)]
+                         for i, e in zip(starts, ends)))
+        pb = 1 << max(int(np.ceil(np.log2(max(maxpts, 1)))), 10)
+        dummy = self.chunk * s  # scatter mode='drop' discards padding
+        for i, e in zip(starts, ends):
+            lo, hi = int(cum[i]), int(cum[e])
+            piece = np.full(pb, dummy, np.int64)
+            piece[:hi - lo] = ids[lo:hi] - i * s
+            yield int(i), "sv:", (jnp.asarray(piece.astype(np.int32)),)
+
     def _iter_chunks(self, arrays, chunk=None):
         """Yield (start, pieces) of fixed-size chunks; only the final short
         chunk is zero-padded (no full-batch concatenate copies)."""
@@ -466,21 +526,24 @@ class PointCloudCodec:
         """
         if self.coder == "device":
             return self._compress_factorized_device(cubes)
-        x8 = _occupancy_u8(cubes)
-        values = self._chunked("analysis_q", x8).astype(np.int32)
+        b = self._n_cubes(cubes)
+        futs = [self._start_fetch(
+            self._jitted(prefix + "analysis_q")(self.params, *args))
+            for _, prefix, args in self._feed_chunks(cubes)]
+        values = _tree_concat([jax.device_get(f) for f in futs])[:b]
+        values = values.astype(np.int32)
         strings, min_v, max_v = self._encode_factorized_stream(values)
         return strings, min_v, max_v, values.shape
 
     def _compress_factorized_device(self, cubes):
-        x8 = _occupancy_u8(cubes)
-        b = x8.shape[0]
+        b = self._n_cubes(cubes)
         elems = int(np.prod(self._y_spatial))
         lanes = self._table_lanes()
         chunks, mns, mxs = [], [], []
-        for i, (piece,) in self._iter_chunks([x8]):
+        for i, prefix, args in self._feed_chunks(cubes):
             n = min(self.chunk, b - i)
-            yv, mn, mx = self._jitted(f"analysis_q_mm:{n}")(
-                self.params, *self._put([piece]))
+            yv, mn, mx = self._jitted(f"{prefix}analysis_q_mm:{n}")(
+                self.params, *args)
             chunks.append((i, yv))
             mns.append(mn)
             mxs.append(mx)
@@ -552,7 +615,6 @@ class PointCloudCodec:
         """
         if self.coder == "device":
             return self._compress_hyper_device(cubes, return_recon)
-        x8 = _occupancy_u8(cubes)
         # per-chunk pipeline: prior(zhat) consumes the device-resident
         # zhat of analysis_hyper directly (no host round trip); all chunk
         # programs are dispatched before any fetch with async D2H copies,
@@ -560,12 +622,12 @@ class PointCloudCodec:
         # flight (compute + transfer + host coding all overlap). prior()
         # sees the same int8 inputs the decoder uploads, and it is the same
         # compiled program (contract above).
-        ana = self._jitted("analysis_hyper")
         prior = self._jitted("prior")
-        b = x8.shape[0]
+        b = self._n_cubes(cubes)
         futs = []
-        for i, (piece,) in self._iter_chunks([x8]):
-            yv, zh = ana(self.params, *self._put([piece]))
+        for i, prefix, args in self._feed_chunks(cubes):
+            yv, zh = self._jitted(prefix + "analysis_hyper")(
+                self.params, *args)
             lq, sq = prior(self.params, zh)
             futs.append((i,) + self._start_fetch((yv, zh, lq, sq)))
 
@@ -660,9 +722,7 @@ class PointCloudCodec:
         device-resident end to end. The whole workload is ONE rANS coding
         unit (one 4*lanes-byte state flush; entropy/rans.py).
         """
-        x8 = _occupancy_u8(cubes)
-        ana = self._jitted("analysis_hyper")
-        b = x8.shape[0]
+        b = self._n_cubes(cubes)
         elems = int(np.prod(self._y_spatial))
         lanes = self._device_lanes()
         a_scales = ()
@@ -671,8 +731,9 @@ class PointCloudCodec:
         else:
             prior = self._jitted("prior")
         chunks, zfuts, recon_futs = [], [], []
-        for i, (piece,) in self._iter_chunks([x8]):
-            yv, zh = ana(self.params, *self._put([piece]))
+        for i, prefix, args in self._feed_chunks(cubes):
+            yv, zh = self._jitted(prefix + "analysis_hyper")(
+                self.params, *args)
             if self.prior == "int":
                 if i == 0:
                     a_scales = self._calibrate_prior_scales(zh)

@@ -64,12 +64,12 @@ def eval_one_rate(input_file, codec, scale, cube_size, min_num, rho_d1,
     name = f"{os.path.splitext(os.path.basename(input_file))[0]}_{tag}"
     t0 = time.time()
     if codec.mode == "factorized":
-        strings, mn, mx, shape = codec.compress_factorized(pre.cubes)
+        strings, mn, mx, shape = codec.compress_factorized(pre)
         fs = bitstream.FactorizedStreams(
             strings, mn, mx, shape, pre.points_numbers, pre.cube_positions)
         sizes = bitstream.write_factorized(name, fs, rootdir=rootdir)
     else:
-        hs = codec.compress_hyper(pre.cubes)
+        hs = codec.compress_hyper(pre)
         hs.points_numbers = pre.points_numbers
         hs.cube_positions = pre.cube_positions
         sizes = bitstream.write_hyper(name, hs, rootdir=rootdir)
@@ -150,13 +150,13 @@ def search_optimal_rho(input_file, codec, section_cfg, resolution,
     min_num = s.getint("min_num", 64)
     pre = pipeline.preprocess(input_file, scale, cube_size, min_num)
     if codec.mode == "factorized":
-        strings, mn, mx, shape = codec.compress_factorized(pre.cubes)
+        strings, mn, mx, shape = codec.compress_factorized(pre)
 
         def masks_at(rho):
             return codec.decompress_factorized_masks(
                 strings, mn, mx, shape, pre.points_numbers, rho)
     else:
-        hs = codec.compress_hyper(pre.cubes)
+        hs = codec.compress_hyper(pre)
 
         def masks_at(rho):
             return codec.decompress_hyper_masks(hs, pre.points_numbers, rho)

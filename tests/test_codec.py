@@ -287,3 +287,30 @@ class TestDeviceCoderFactorized:
         s_h, *_ = host.compress_factorized(pre.cubes)
         # same tables, same symbols: only framing + lane flush differ
         assert len(s_d) <= len(s_h) * 1.03 + 16 * 4 + 64
+
+
+class TestSparseFeed:
+    """Sparse upload (flat voxel ids + device voxelize) must produce
+    byte-identical streams to the dense occupancy upload."""
+
+    def test_hyper_both_coders(self, pre):
+        for coder in ("host", "device"):
+            dense = _codec("hyper", coder=coder, lanes=8)
+            hs_d = dense.compress_hyper(pre.cubes)
+            hs_s = dense.compress_hyper(pre)  # same codec: same weights
+            assert [bytes(a) for a in hs_d.y_strings] == \
+                [bytes(a) for a in hs_s.y_strings]
+            assert bytes(hs_d.z_strings) == bytes(hs_s.z_strings)
+
+    def test_factorized_both_coders(self, pre):
+        for coder in ("host", "device"):
+            c = _codec("factorized", coder=coder, lanes=16)
+            s_d, mn_d, mx_d, _ = c.compress_factorized(pre.cubes)
+            s_s, mn_s, mx_s, _ = c.compress_factorized(pre)
+            assert (bytes(s_d), mn_d, mx_d) == (bytes(s_s), mn_s, mx_s)
+
+    def test_preprocess_flat_ids_consistent(self, pre):
+        import numpy as np
+        cubes = pre.cubes.reshape(pre.cubes.shape[0], -1)
+        want = np.flatnonzero(cubes).astype(np.int64)
+        assert np.array_equal(np.asarray(pre.flat_ids), want)
