@@ -149,6 +149,9 @@ class HyperStreams:
     # ships the calibrated activation scale exponents.
     prior: str = "float"
     prior_scales: tuple = ()
+    # global (y_min, y_max) of the coded latents (device coder): decode
+    # side info that shrinks the rANS symbol bisection. () = unknown.
+    y_range: tuple = ()
 
 
 def write_hyper(filename, hs: HyperStreams, rootdir="./"):
@@ -174,7 +177,8 @@ def write_hyper(filename, hs: HyperStreams, rootdir="./"):
                 raise ValueError("device-coder streams are a single blob")
             f.write(np.array(-32768, np.int16).tobytes())
             f.write(np.array(4, np.uint8).tobytes())           # version
-            flags = 1 if hs.prior == "int" else 0
+            flags = (1 if hs.prior == "int" else 0) \
+                | (2 if hs.y_range else 0)
             f.write(np.array(flags, np.uint8).tobytes())
             f.write(np.array(len(hs.points_numbers)
                              if hs.points_numbers is not None else 0,
@@ -185,6 +189,8 @@ def write_hyper(filename, hs: HyperStreams, rootdir="./"):
                 scales = np.asarray(hs.prior_scales, np.int8)
                 f.write(np.array(len(scales), np.uint8).tobytes())
                 f.write(scales.tobytes())
+            if hs.y_range:
+                f.write(np.asarray(hs.y_range, np.int8).tobytes())
         else:
             f.write(np.array(len(hs.y_strings), np.int16).tobytes())
             f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
@@ -226,7 +232,7 @@ def read_hyper(filename, rootdir="./"):
     with open(base + ".strings_head", "rb") as f:
         n_cubes = int(np.frombuffer(f.read(2), np.int16)[0])
         coder, lanes, chunk = "host", 0, 0
-        prior, prior_scales = "float", ()
+        prior, prior_scales, y_range = "float", (), ()
         if n_cubes == -32768:
             coder = "device"
             version = int(np.frombuffer(f.read(1), np.uint8)[0])
@@ -243,6 +249,9 @@ def read_hyper(filename, rootdir="./"):
                 ns = int(np.frombuffer(f.read(1), np.uint8)[0])
                 prior_scales = tuple(
                     int(s) for s in np.frombuffer(f.read(ns), np.int8))
+            if flags & 2:
+                y_range = tuple(
+                    int(v) for v in np.frombuffer(f.read(2), np.int8))
             y_min_vs = np.zeros(n_cubes, np.int32)
             y_max_vs = np.zeros(n_cubes, np.int32)
             lens = None
@@ -277,4 +286,5 @@ def read_hyper(filename, rootdir="./"):
                         z_strings, int(z_min_v), int(z_max_v), z_shape,
                         points_numbers, cube_positions,
                         coder=coder, lanes=lanes, chunk=chunk,
-                        prior=prior, prior_scales=prior_scales)
+                        prior=prior, prior_scales=prior_scales,
+                        y_range=y_range)

@@ -139,6 +139,10 @@ class PointCloudCodec:
         f = self.family.down_factor
         self._y_spatial = (self.cube_size // f,) * 3 + (
             self.family.latent_channels,)
+        if self.hyper:
+            self._z_spatial = tuple(
+                s // 2 for s in self._y_spatial[:3]) + (
+                self.family.hyper_channels,)
         bottleneck_channels = (self.family.hyper_channels if self.hyper
                                else self.family.latent_channels)
         self.estimator = FactorizedEntropy(channels=bottleneck_channels)
@@ -213,8 +217,11 @@ class PointCloudCodec:
 
     # -------------------------------------------------------------- jitted --
     def _jitted(self, name):
-        if name in self._jit_cache:
-            return self._jit_cache[name]
+        # several programs close over self.chunk at trace time; key the
+        # cache on it so a future chunk change can never serve stale traces
+        cache_key = (name, self.chunk)
+        if cache_key in self._jit_cache:
+            return self._jit_cache[cache_key]
 
         mods = self.modules
 
@@ -307,16 +314,18 @@ class PointCloudCodec:
             # [-> top-k mask]. Integer rANS + decode-only float stages are
             # safe to fuse; the float "prior" program stays standalone
             # (contract above). words = the WHOLE workload's word array;
-            # (states, ptr) carry across chunk dispatches.
-            _, n = name.split(":")
-            n = int(n)
+            # (states, ptr) carry across chunk dispatches. base/bits =
+            # global symbol-range side info (shrinks the bisection).
+            _, n, base, bits = name.split(":")
+            n, base, bits = int(n), int(base), int(bits)
             classify = name.startswith("rans_classify:")
 
             def fn(params, words, states, ptr, lq, sq, *extras):
                 u, states, ptr = rans.rans_decode(
                     words, states, ptr,
                     lq[:n].astype(jnp.int32).reshape(-1),
-                    sq[:n].astype(jnp.int32).reshape(-1))
+                    sq[:n].astype(jnp.int32).reshape(-1),
+                    base=base, span_bits=bits)
                 y = (u - 128).astype(jnp.float32).reshape(
                     (n,) + self._y_spatial)
                 logits = apply("synthesis", params["synthesis"], y)
@@ -353,6 +362,31 @@ class PointCloudCodec:
                 nums, rho = extras
                 return self._pack_classify(logits, nums[:n], rho), \
                     states, ptr
+        elif name.startswith("minmax_yz:"):
+            # ranges of the n REAL cubes' y and zhat (four scalars; the y
+            # range ships as decode side info to shrink the rANS symbol
+            # bisection, the z range parameterizes the z CDF tables)
+            n = int(name.split(":")[1])
+
+            def fn(params, yv, zh):
+                return (yv[:n].min(), yv[:n].max(),
+                        zh[:n].min(), zh[:n].max())
+        elif name.startswith("zdec:"):
+            # chained table-CDF decode of the z stream -> device-resident
+            # zhat (padded to the chunk batch shape the prior program
+            # expects; padding is zeros, same as the host-z upload path)
+            _, n, pad_to = name.split(":")
+            n, pad_to = int(n), int(pad_to)
+
+            def fn(params, words, table, min_v, states, ptr):
+                m = n * int(np.prod(self._z_spatial))
+                sym, states, ptr = rans.rans_decode_cdf(
+                    words, table, states, ptr, m)
+                zh = (sym + min_v).astype(jnp.int8).reshape(
+                    (n,) + self._z_spatial)
+                if n < pad_to:
+                    zh = jnp.pad(zh, ((0, pad_to - n),) + ((0, 0),) * 4)
+                return zh, states, ptr
         elif name.startswith("analysis_q_mm:"):
             # factorized device encode stage A: rounded latents + the range
             # of the n REAL cubes (padding excluded; two scalars are the
@@ -369,7 +403,7 @@ class PointCloudCodec:
             raise KeyError(name)
 
         jfn = jax.jit(fn)
-        self._jit_cache[name] = jfn
+        self._jit_cache[cache_key] = jfn
         return jfn
 
     def _qprior_weights(self):
@@ -730,8 +764,9 @@ class PointCloudCodec:
             qp = self._jitted("qprior")
         else:
             prior = self._jitted("prior")
-        chunks, zfuts, recon_futs = [], [], []
+        chunks, zchunks, mm_futs, recon_futs = [], [], [], []
         for i, prefix, args in self._feed_chunks(cubes):
+            n = min(self.chunk, b - i)
             yv, zh = self._jitted(prefix + "analysis_hyper")(
                 self.params, *args)
             if self.prior == "int":
@@ -742,7 +777,9 @@ class PointCloudCodec:
             else:
                 lq, sq = prior(self.params, zh)
             chunks.append((i, yv, lq, sq))
-            zfuts.append(self._start_fetch(zh))
+            zchunks.append((i, zh))
+            mm_futs.append(self._start_fetch(
+                self._jitted(f"minmax_yz:{n}")(self.params, yv, zh)))
             if return_recon:
                 recon_futs.append(self._start_fetch(
                     self._jitted("synthesis")(self.params, yv)))
@@ -750,21 +787,39 @@ class PointCloudCodec:
         blob, _ = self._chained_encode(chunks, "rans_encode", (), b,
                                        elems, lanes)
 
-        zhat = np.concatenate(
-            [np.asarray(z)[:min(self.chunk, b - i)]
-             for (i, _, _, _), z in zip(chunks, zfuts)], axis=0)
-        z_strings, z_min, z_max = self._encode_factorized_stream(
-            zhat.astype(np.int32))
+        mm = [[int(np.asarray(v)) for v in t] for t in mm_futs]
+        y_gmin = min(t[0] for t in mm)
+        y_gmax = max(t[1] for t in mm)
+        # z stream: chained table-CDF device coding against the estimator's
+        # deterministic C++ tables (no zhat ever crosses the link)
+        z_min = min(t[2] for t in mm)
+        z_max = max(t[3] for t in mm)
+        if z_max == z_min:
+            z_max += 1
+        z_elems = int(np.prod(self._z_spatial))
+        # z streams are tiny at trained rates (~KBs): balance the 4 B/lane
+        # flush against the scan's ~us/step overhead (fewer lanes = longer
+        # scan). 128 lanes = 0.5 KB flush, ~1.5k steps per 48-cube chunk.
+        z_lanes = max(self.family.hyper_channels,
+                      rans.pick_lanes(z_elems, min(self.lanes, 128)))
+        ztab = self._lane_table(z_min, z_max, z_lanes)
+        z_blob, _ = self._chained_encode(
+            zchunks, "cdf_encode", (ztab, jnp.int32(z_min)), b, z_elems,
+            z_lanes)
+        z_strings = (bitstream.FACTORIZED_DEVICE_MAGIC
+                     + bytes([int(np.log2(z_lanes)) & 0xFF]) + z_blob)
         hs = bitstream.HyperStreams(
             y_strings=[blob],
             y_min_vs=np.zeros(b, np.int32),
             y_max_vs=np.zeros(b, np.int32),
             y_shape=(1,) + self._y_spatial,
             z_strings=z_strings, z_min_v=z_min, z_max_v=z_max,
-            z_shape=zhat.shape, points_numbers=None, cube_positions=None,
+            z_shape=(b,) + self._z_spatial,
+            points_numbers=None, cube_positions=None,
             coder="device", lanes=lanes, chunk=self.chunk,
             prior=self.prior,
-            prior_scales=tuple(int(s) for s in a_scales))
+            prior_scales=tuple(int(s) for s in a_scales),
+            y_range=(y_gmin, y_gmax))
         if return_recon:
             recon = _tree_concat(
                 [jax.device_get(f) for f in recon_futs])[:b]
@@ -787,11 +842,25 @@ class PointCloudCodec:
         prior + fused rANS-decode->synthesis[->classify] per chunk with the
         (states, ptr) carry threading on device; only the final logits or
         bit-packed masks come back. Ends with a stream integrity check
-        (every lane must return to RANS_L)."""
-        zhat = self._decode_factorized_stream(
-            hs.z_strings, hs.z_min_v, hs.z_max_v, hs.z_shape)
-        b = zhat.shape[0]
+        (every lane must return to RANS_L).
+
+        The z stream self-describes: device-coded z (magic prefix) decodes
+        on device straight into the prior's input handle; host-coded z
+        keeps the C++ path + per-chunk upload."""
+        b = int(hs.z_shape[0])
         lanes = int(hs.lanes)
+        magic = bitstream.FACTORIZED_DEVICE_MAGIC
+        z_device = bytes(hs.z_strings[:len(magic)]) == magic
+        if z_device:
+            z_lanes = 1 << hs.z_strings[len(magic)]
+            zwords, zstates, zptr = self._upload_words(
+                hs.z_strings[len(magic) + 1:], z_lanes)
+            ztab = self._lane_table(hs.z_min_v, hs.z_max_v, z_lanes)
+            zmv = jnp.int32(hs.z_min_v)
+        else:
+            zhat = self._decode_factorized_stream(
+                hs.z_strings, hs.z_min_v, hs.z_max_v,
+                hs.z_shape).astype(np.int8)
         int_prior = getattr(hs, "prior", "float") == "int"
         if int_prior:
             # integer prior codes are batch-shape-independent: decode at
@@ -806,21 +875,39 @@ class PointCloudCodec:
             prior = self._jitted("prior")
         words, states, ptr = self._upload_words(hs.y_strings[0], lanes)
         extra_arrays = [np.asarray(a) for a in extra_arrays]
+        yr = tuple(getattr(hs, "y_range", ()) or ())
+        if yr:
+            base = yr[0] + 128
+            bits = max(int(np.ceil(np.log2(yr[1] - yr[0] + 1)))
+                       if yr[1] > yr[0] else 0, 0)
+        else:
+            base, bits = 0, 8  # legacy stream: full bisection
 
         futs = []
-        for i, pieces in self._iter_chunks(
-                [zhat.astype(np.int8)] + extra_arrays, chunk=chunk):
-            zp, *ex = pieces
+        for i in range(0, b, chunk):
             n = min(chunk, b - i)
-            if int_prior:
-                lq, sq = qp(self.params, a_dev, *self._put([zp]))
+            if z_device:
+                zp, zstates, zptr = self._jitted(f"zdec:{n}:{chunk}")(
+                    self.params, zwords, ztab, zmv, zstates, zptr)
             else:
-                lq, sq = prior(self.params, *self._put([zp]))
-            fin = self._jitted(f"rans_{final}:{n}")
+                zp = zhat[i:i + chunk]
+                if zp.shape[0] < chunk:
+                    zp = np.concatenate(
+                        [zp, np.zeros((chunk - zp.shape[0],)
+                                      + zp.shape[1:], zp.dtype)])
+                zp = self._put([zp])[0]
+            ex = [a[i:i + n] for a in extra_arrays]
+            if int_prior:
+                lq, sq = qp(self.params, a_dev, zp)
+            else:
+                lq, sq = prior(self.params, zp)
+            fin = self._jitted(f"rans_{final}:{n}:{base}:{bits}")
             out, states, ptr = fin(self.params, words, states, ptr,
                                    lq, sq, *ex, *scalars)
             futs.append(self._start_fetch(out))
         rans.check_final_states(states)
+        if z_device:
+            rans.check_final_states(zstates)
         out = _tree_concat([jax.device_get(f) for f in futs])
         return jax.tree.map(lambda a: a[:b], out)
 

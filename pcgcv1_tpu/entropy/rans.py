@@ -160,16 +160,29 @@ def _laplace_enc(u, lq, sq):
     return c, f
 
 
-def _laplace_dec(dv, lq, sq):
-    # largest u with qcdf(u) <= dv: branch-free bisection over 256 bins
-    # (each eval is pure VPU arithmetic — no gathers)
-    lo = jnp.zeros(dv.shape, jnp.int32)
-    for bit in (128, 64, 32, 16, 8, 4, 2, 1):
-        mid = lo + bit
-        lo = jnp.where(qcdf(mid, lq, sq) <= dv, mid, lo)
-    c = qcdf(lo, lq, sq)
-    f = qcdf(lo + 1, lq, sq) - c
-    return lo, c, f
+def _laplace_dec_fn(base=None, span_bits=8):
+    """Laplace symbol search: branch-free bisection, by default over all
+    256 bins. When the caller knows the coded symbols live in
+    [base, base + 2^span_bits) (global range side info in the stream), the
+    bisection shrinks to span_bits evals — the dominant cost of the decode
+    scan. Each eval is pure VPU arithmetic, no gathers."""
+
+    def dec(dv, lq, sq):
+        if base is None:
+            lo = jnp.zeros(dv.shape, jnp.int32)
+        else:
+            lo = jnp.full(dv.shape, base, jnp.int32)
+        for i in range(span_bits - 1, -1, -1):
+            mid = lo + (1 << i)
+            lo = jnp.where(qcdf(mid, lq, sq) <= dv, mid, lo)
+        c = qcdf(lo, lq, sq)
+        f = qcdf(lo + 1, lq, sq) - c
+        return lo, c, f
+
+    return dec
+
+
+_laplace_dec = _laplace_dec_fn()
 
 
 def _table_model(table):
@@ -283,18 +296,22 @@ def rans_encode(symbols_u, loc_q, scale_q, states, cap):
         _laplace_enc, states, cap)
 
 
-def rans_decode(words, states, ptr, loc_q, scale_q):
+def rans_decode(words, states, ptr, loc_q, scale_q, base=None,
+                span_bits=8):
     """Chained Laplace-prior decode of one chunk.
 
     words: uint16 [W] (whole workload); states/ptr: carry-in; loc_q/scale_q:
-    int32 [M] prior codes (identical to encode side). Returns
+    int32 [M] prior codes (identical to encode side). base/span_bits:
+    optional static symbol-range restriction (all coded symbols + 128 must
+    lie in [base, base + 2^span_bits)); cuts the bisection cost. Returns
     (symbols_u int32 [M], states, ptr).
     """
     lanes = states.shape[0]
     lt = _ts(loc_q.astype(jnp.int32), lanes)
     st = _ts(scale_q.astype(jnp.int32), lanes)
     us, states, ptr = _decode_scan(words, states, ptr, (lt, st),
-                                   _laplace_dec, lt.shape[0])
+                                   _laplace_dec_fn(base, span_bits),
+                                   lt.shape[0])
     return us.reshape(-1), states, ptr
 
 
