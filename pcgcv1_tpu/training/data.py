@@ -23,11 +23,38 @@ from pcgcv1_tpu.ops import voxel
 
 
 def voxelize_cubes(point_lists, cube_size):
-    """List of [N,3] int arrays -> float32 [B, cs, cs, cs, 1]."""
+    """List of [N,3] int arrays -> uint8 [B, cs, cs, cs, 1] occupancy.
+
+    uint8 transport: the trainer casts to compute dtype on device (the
+    host->device link is the training bottleneck at f32, PERF_NOTES.md).
+    """
     ids = np.concatenate([
         np.full(len(p), i, np.int64) for i, p in enumerate(point_lists)])
     pts = np.concatenate([np.asarray(p, np.int64) for p in point_lists])
-    return voxel.points_to_voxels(pts, ids, len(point_lists), cube_size)
+    return voxel.points_to_voxels(pts, ids, len(point_lists), cube_size,
+                                  dtype=np.uint8)
+
+def prefetch(batches, depth=3):
+    """Run a batch iterator in a background thread (the reference's input
+    loop is fully serial with the step, train_hyper.py:176-182)."""
+    import queue as queue_mod
+    import threading
+    q = queue_mod.Queue(maxsize=depth)
+    stop = object()
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(b)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        b = q.get()
+        if b is stop:
+            return
+        yield b
 
 
 class H5CubeDataset:
