@@ -314,18 +314,19 @@ class PointCloudCodec:
             # [-> top-k mask]. Integer rANS + decode-only float stages are
             # safe to fuse; the float "prior" program stays standalone
             # (contract above). words = the WHOLE workload's word array;
-            # (states, ptr) carry across chunk dispatches. base/bits =
-            # global symbol-range side info (shrinks the bisection).
-            _, n, base, bits = name.split(":")
-            n, base, bits = int(n), int(base), int(bits)
+            # (states, ptr) carry across chunk dispatches. bits = static
+            # bisection length; the range base arrives as a traced scalar
+            # (content-dependent — must not key the program cache).
+            _, n, bits = name.split(":")
+            n, bits = int(n), int(bits)
             classify = name.startswith("rans_classify:")
 
-            def fn(params, words, states, ptr, lq, sq, *extras):
+            def fn(params, words, states, ptr, ybase, lq, sq, *extras):
                 u, states, ptr = rans.rans_decode(
                     words, states, ptr,
                     lq[:n].astype(jnp.int32).reshape(-1),
                     sq[:n].astype(jnp.int32).reshape(-1),
-                    base=base, span_bits=bits)
+                    base=ybase, span_bits=bits)
                 y = (u - 128).astype(jnp.float32).reshape(
                     (n,) + self._y_spatial)
                 logits = apply("synthesis", params["synthesis"], y)
@@ -570,6 +571,10 @@ class PointCloudCodec:
         return strings, min_v, max_v, values.shape
 
     def _compress_factorized_device(self, cubes):
+        # NOTE: unlike the streaming hyper encoder, this retains every
+        # chunk's yv on device until the pass-B chain runs — the CDF table
+        # needs the GLOBAL symbol range first (~65 KB/cube int8; fine to
+        # ~10k cubes). Split very large scans into separate streams.
         b = self._n_cubes(cubes)
         elems = int(np.prod(self._y_spatial))
         lanes = self._table_lanes()
@@ -760,32 +765,69 @@ class PointCloudCodec:
         elems = int(np.prod(self._y_spatial))
         lanes = self._device_lanes()
         a_scales = ()
+        a_dev = None
         if self.prior == "int":
             qp = self._jitted("qprior")
         else:
             prior = self._jitted("prior")
-        chunks, zchunks, mm_futs, recon_futs = [], [], [], []
-        for i, prefix, args in self._feed_chunks(cubes):
+
+        # STREAMING y chain: chunks are processed in reverse feed order
+        # (rANS is LIFO) and each chunk's bulky (yv, lq, sq) arrays are
+        # released as soon as its word count is confirmed — encoder HBM
+        # stays O(window), not O(total cubes). Only the small zhat handles
+        # (4 KB/cube) are retained for the z pass, whose CDF table needs
+        # the global z range.
+        states = rans.initial_states(lanes)
+        pending = []        # bounded in-flight window
+        segments_rev, zchunks, mm_futs, recon_futs = [], [], [], []
+
+        def confirm(entry):
+            n, m, arrays, carry_in, (words, count) = entry
+            cnt = int(np.asarray(count))
+            if cnt > words.shape[0]:
+                # rare overflow: re-dispatch at worst-case capacity from
+                # the SAME carry-in (capacity only truncates word storage,
+                # never the state arithmetic)
+                enc_full = self._jitted(f"rans_encode:{n}:{m}")
+                words, count, _ = enc_full(self.params, *arrays, carry_in)
+                cnt = int(np.asarray(count))
+            return np.asarray(words), cnt
+
+        for i, prefix, args in reversed(list(self._feed_chunks(cubes))):
             n = min(self.chunk, b - i)
             yv, zh = self._jitted(prefix + "analysis_hyper")(
                 self.params, *args)
             if self.prior == "int":
-                if i == 0:
+                if a_dev is None:
                     a_scales = self._calibrate_prior_scales(zh)
                     a_dev = jnp.asarray(a_scales, jnp.int32)
                 lq, sq = qp(self.params, a_dev, zh)
             else:
                 lq, sq = prior(self.params, zh)
-            chunks.append((i, yv, lq, sq))
+            m = n * elems
+            cap = max(m // 8, 2 * lanes)
+            carry_in = states
+            words, count, states = self._jitted(
+                f"rans_encode:{n}:{cap}")(self.params, yv, lq, sq,
+                                          carry_in)
+            pending.append((n, m, (yv, lq, sq), carry_in,
+                            self._start_fetch((words, count))))
             zchunks.append((i, zh))
             mm_futs.append(self._start_fetch(
                 self._jitted(f"minmax_yz:{n}")(self.params, yv, zh)))
             if return_recon:
-                recon_futs.append(self._start_fetch(
-                    self._jitted("synthesis")(self.params, yv)))
-
-        blob, _ = self._chained_encode(chunks, "rans_encode", (), b,
-                                       elems, lanes)
+                recon_futs.append((i, self._start_fetch(
+                    self._jitted("synthesis")(self.params, yv))))
+            while len(pending) > 2:
+                segments_rev.append(confirm(pending.pop(0)))
+        while pending:
+            segments_rev.append(confirm(pending.pop(0)))
+        segments = list(reversed(segments_rev))
+        zchunks.reverse()
+        mm_futs.reverse()
+        blob = rans.pack_stream([w for w, _ in segments],
+                                [c for _, c in segments],
+                                np.asarray(states))
 
         mm = [[int(np.asarray(v)) for v in t] for t in mm_futs]
         y_gmin = min(t[0] for t in mm)
@@ -822,7 +864,7 @@ class PointCloudCodec:
             y_range=(y_gmin, y_gmax))
         if return_recon:
             recon = _tree_concat(
-                [jax.device_get(f) for f in recon_futs])[:b]
+                [jax.device_get(f) for _, f in sorted(recon_futs)])[:b]
             return hs, recon
         return hs
 
@@ -882,6 +924,7 @@ class PointCloudCodec:
                        if yr[1] > yr[0] else 0, 0)
         else:
             base, bits = 0, 8  # legacy stream: full bisection
+        ybase = jnp.int32(base)
 
         futs = []
         for i in range(0, b, chunk):
@@ -901,9 +944,9 @@ class PointCloudCodec:
                 lq, sq = qp(self.params, a_dev, zp)
             else:
                 lq, sq = prior(self.params, zp)
-            fin = self._jitted(f"rans_{final}:{n}:{base}:{bits}")
+            fin = self._jitted(f"rans_{final}:{n}:{bits}")
             out, states, ptr = fin(self.params, words, states, ptr,
-                                   lq, sq, *ex, *scalars)
+                                   ybase, lq, sq, *ex, *scalars)
             futs.append(self._start_fetch(out))
         rans.check_final_states(states)
         if z_device:

@@ -165,13 +165,17 @@ def _laplace_dec_fn(base=None, span_bits=8):
     256 bins. When the caller knows the coded symbols live in
     [base, base + 2^span_bits) (global range side info in the stream), the
     bisection shrinks to span_bits evals — the dominant cost of the decode
-    scan. Each eval is pure VPU arithmetic, no gathers."""
+    scan. Each eval is pure VPU arithmetic, no gathers.
+
+    base may be a TRACED scalar (it varies per stream; only span_bits — the
+    loop length — must be static, so jit programs are keyed on 9 possible
+    bit counts, not on every distinct latent range)."""
 
     def dec(dv, lq, sq):
         if base is None:
             lo = jnp.zeros(dv.shape, jnp.int32)
         else:
-            lo = jnp.full(dv.shape, base, jnp.int32)
+            lo = jnp.broadcast_to(jnp.asarray(base, jnp.int32), dv.shape)
         for i in range(span_bits - 1, -1, -1):
             mid = lo + (1 << i)
             lo = jnp.where(qcdf(mid, lq, sq) <= dv, mid, lo)

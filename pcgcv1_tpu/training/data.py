@@ -36,25 +36,47 @@ def voxelize_cubes(point_lists, cube_size):
 
 def prefetch(batches, depth=3):
     """Run a batch iterator in a background thread (the reference's input
-    loop is fully serial with the step, train_hyper.py:176-182)."""
+    loop is fully serial with the step, train_hyper.py:176-182).
+
+    Exceptions from the iterator re-raise in the consumer (a data-loading
+    failure must abort training loudly, not end it silently), and the
+    worker unblocks when the consumer stops early (generator close).
+    """
     import queue as queue_mod
     import threading
     q = queue_mod.Queue(maxsize=depth)
     stop = object()
+    closed = threading.Event()
+
+    def put_until_closed(item):
+        while not closed.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(b)
-        finally:
-            q.put(stop)
+                if not put_until_closed(b):
+                    return
+            put_until_closed(stop)
+        except BaseException as e:  # noqa: BLE001 — relayed to consumer
+            put_until_closed(e)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        b = q.get()
-        if b is stop:
-            return
-        yield b
+    try:
+        while True:
+            b = q.get()
+            if b is stop:
+                return
+            if isinstance(b, BaseException):
+                raise b
+            yield b
+    finally:
+        closed.set()
 
 
 class H5CubeDataset:

@@ -192,3 +192,39 @@ def test_partial_warm_start_across_modes(tmp_path):
     # estimator differs in channels -> freshly initialized, still trainable
     m = tr_f.train_step(next(ds.batches(4)))
     assert np.isfinite(float(m["loss"]))
+
+
+class TestPrefetch:
+    def test_exceptions_propagate(self):
+        from pcgcv1_tpu.training.data import prefetch
+
+        def it():
+            yield 1
+            raise IOError("corrupt shard")
+
+        import pytest as _pytest
+        with _pytest.raises(IOError):
+            list(prefetch(it()))
+
+    def test_early_stop_releases_worker(self):
+        import threading
+        import time
+        from pcgcv1_tpu.training.data import prefetch
+
+        def infinite():
+            i = 0
+            while True:
+                yield i
+                i += 1
+
+        n0 = threading.active_count()
+        g = prefetch(infinite())
+        got = [v for _, v in zip(range(4), g)]
+        assert got == [0, 1, 2, 3]
+        g.close()
+        time.sleep(1.2)
+        assert threading.active_count() <= n0
+
+    def test_order_preserved(self):
+        from pcgcv1_tpu.training.data import prefetch
+        assert list(prefetch(iter(range(20)))) == list(range(20))
