@@ -126,4 +126,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # the axon relay occasionally kills a whole client session with a
+        # transient FAILED_PRECONDITION; a fresh process usually succeeds.
+        # Retry once by re-exec (a poisoned JAX client can't recover
+        # in-process).
+        if os.environ.get("PCGC_BENCH_RETRY"):
+            raise
+        print(f"bench failed ({type(e).__name__}: {e}); retrying once in "
+              "a fresh process", file=sys.stderr)
+        os.environ["PCGC_BENCH_RETRY"] = "1"
+        os.execv(sys.executable, [sys.executable] + sys.argv)
