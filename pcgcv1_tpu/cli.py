@@ -180,14 +180,28 @@ def cmd_info(args):
     mode = "hyper" if hyper else "factorized"
     if hyper:
         hs = bitstream.read_hyper(name, rootdir)
-        n_cubes = len(hs.y_strings)
         nums, pos = hs.points_numbers, hs.cube_positions
-        print(f"mode: hyper   cubes: {n_cubes}")
-        print(f"y shape/cube: {hs.y_shape}  range packs: "
-              f"min {hs.y_min_vs.min()}..{hs.y_min_vs.max()}, "
-              f"max {hs.y_max_vs.min()}..{hs.y_max_vs.max()}")
-        print(f"z shape: {hs.z_shape}  z range: "
-              f"[{hs.z_min_v}, {hs.z_max_v}]")
+        print(f"mode: hyper   cubes: {len(nums)}   coder: {hs.coder}")
+        if hs.coder == "device":
+            zdev = bytes(hs.z_strings[:len(
+                bitstream.FACTORIZED_DEVICE_MAGIC)]) == \
+                bitstream.FACTORIZED_DEVICE_MAGIC
+            print(f"y shape/cube: {hs.y_shape}  chained rANS: "
+                  f"{hs.lanes} lanes, encode chunk {hs.chunk}, "
+                  f"prior {hs.prior}"
+                  + (f" (scales {hs.prior_scales})"
+                     if hs.prior == "int" else ""))
+            if hs.y_range:
+                print(f"y range: [{hs.y_range[0]}, {hs.y_range[1]}]")
+            print(f"z shape: {hs.z_shape}  z range: "
+                  f"[{hs.z_min_v}, {hs.z_max_v}]  "
+                  f"z coder: {'device' if zdev else 'host'}")
+        else:
+            print(f"y shape/cube: {hs.y_shape}  range packs: "
+                  f"min {hs.y_min_vs.min()}..{hs.y_min_vs.max()}, "
+                  f"max {hs.y_max_vs.min()}..{hs.y_max_vs.max()}")
+            print(f"z shape: {hs.z_shape}  z range: "
+                  f"[{hs.z_min_v}, {hs.z_max_v}]")
     else:
         fs = bitstream.read_factorized(name, rootdir)
         nums, pos = fs.points_numbers, fs.cube_positions

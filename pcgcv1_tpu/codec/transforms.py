@@ -538,11 +538,11 @@ class PointCloudCodec:
         return values.reshape(shape)
 
     # ------------------------------------------------------------ factorized
-    def _table_lanes(self):
+    def _table_lanes(self, n_cubes=None):
         """Table-CDF coding needs each lane pinned to one channel: lanes
         must be a multiple of C (channel of lane l is then l % C)."""
         c = self.family.latent_channels
-        return max(c, self._device_lanes())
+        return max(c, self._device_lanes(n_cubes))
 
     def _lane_table(self, min_v, max_v, lanes):
         """Per-lane CDF rows [L, N+1] from the per-channel C++ tables
@@ -577,7 +577,7 @@ class PointCloudCodec:
         # ~10k cubes). Split very large scans into separate streams.
         b = self._n_cubes(cubes)
         elems = int(np.prod(self._y_spatial))
-        lanes = self._table_lanes()
+        lanes = self._table_lanes(b)
         chunks, mns, mxs = [], [], []
         for i, prefix, args in self._feed_chunks(cubes):
             n = min(self.chunk, b - i)
@@ -708,9 +708,20 @@ class PointCloudCodec:
             return hs, recon
         return hs
 
-    def _device_lanes(self):
+    def _device_lanes(self, n_cubes=None):
+        """Total rANS lanes: capped by config AND by workload size (each
+        lane costs a 4-byte state flush; small files shouldn't pay a 4 KB
+        flush for parallelism their scan can't use — target >= 256 scan
+        steps). The choice is recorded in the stream, so it's free to vary
+        per workload."""
         elems = int(np.prod(self._y_spatial))
-        return rans.pick_lanes(elems, self.lanes)
+        cap = self.lanes
+        if n_cubes:
+            total = n_cubes * elems
+            by_size = 1 << max(int(np.floor(np.log2(max(total // 256, 1)))),
+                               6)
+            cap = min(cap, by_size)
+        return rans.pick_lanes(elems, max(cap, 1))
 
     def _chained_encode(self, chunks, enc_name, enc_extra, b, elems, lanes):
         """Pass B of device encoding: chained rANS over chunks in REVERSE
@@ -763,7 +774,7 @@ class PointCloudCodec:
         """
         b = self._n_cubes(cubes)
         elems = int(np.prod(self._y_spatial))
-        lanes = self._device_lanes()
+        lanes = self._device_lanes(b)
         a_scales = ()
         a_dev = None
         if self.prior == "int":
