@@ -146,6 +146,8 @@ def cmd_train(args):
     cfg = TrainConfig(
         model=args.modelname, mode=args.mode, alpha=args.alpha,
         beta=args.beta, gamma=args.gamma, delta=args.delta, lr=args.lr,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        lr_final=args.lr_final,
         batch_size=args.batch_size, cube_size=args.cube_size,
         num_iterations=int(args.num_iteration),
         scale_lower_bound=args.lower_bound, ckpt_dir=ckpt_dir,
@@ -281,6 +283,10 @@ def main(argv=None):
     pt.add_argument("--gamma", type=float, default=1.0)
     pt.add_argument("--delta", type=float, default=1.0)
     pt.add_argument("--lr", type=float, default=1e-5)
+    pt.add_argument("--lr_schedule", default="constant",
+                    choices=["constant", "cosine"])
+    pt.add_argument("--warmup_steps", type=int, default=500)
+    pt.add_argument("--lr_final", type=float, default=1e-6)
     pt.add_argument("--num_iteration", type=float, default=3e5)
     pt.add_argument("--batch_size", type=int, default=8)
     pt.add_argument("--cube_size", type=int, default=64)

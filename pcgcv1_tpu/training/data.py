@@ -117,7 +117,13 @@ class H5CubeDataset:
 
 
 class PackedCubeDataset:
-    """Packed .npz shards of cubes."""
+    """Packed .npz shards of cubes, fully resident in host RAM.
+
+    Batches sample cubes uniformly across the whole corpus, so any
+    bounded shard cache would thrash (a 32-cube batch touches up to 32
+    shards); the concatenated int16 corpus is small (~2 GB at 1e5 cubes)
+    and one decompress pass at init beats per-batch shard reloads.
+    """
 
     def __init__(self, pattern, cube_size=64, eval_ratio=9, seed=3):
         self.shards = sorted(glob.glob(pattern))
@@ -125,28 +131,24 @@ class PackedCubeDataset:
             raise FileNotFoundError(f"no shards match {pattern!r}")
         self.cube_size = cube_size
         self.rnd = random.Random(seed)
-        self._cubes = []  # (shard_idx, cube_idx)
-        self._cache = {}
-        for si, s in enumerate(self.shards):
+        pts_parts, offs_parts = [], [np.zeros(1, np.int64)]
+        base = 0
+        for s in self.shards:
             with np.load(s) as z:
-                n = len(z["offsets"]) - 1
-            self._cubes += [(si, ci) for ci in range(n)]
-        n_eval = len(self._cubes) // eval_ratio if eval_ratio else 0
-        self.eval_ids = self._cubes[:n_eval]
-        self.train_ids = self._cubes[n_eval:]
+                pts_parts.append(z["points"])
+                off = z["offsets"]
+            offs_parts.append(off[1:] + base)
+            base += off[-1]
+        self._points = np.concatenate(pts_parts)
+        self._offsets = np.concatenate(offs_parts)
+        n_cubes = len(self._offsets) - 1
+        n_eval = n_cubes // eval_ratio if eval_ratio else 0
+        self.eval_ids = list(range(n_eval))
+        self.train_ids = list(range(n_eval, n_cubes))
 
-    def _shard(self, si):
-        if si not in self._cache:
-            with np.load(self.shards[si]) as z:
-                self._cache[si] = (z["points"], z["offsets"])
-            if len(self._cache) > 4:
-                self._cache.pop(next(iter(self._cache)))
-        return self._cache[si]
-
-    def _load(self, sid):
-        si, ci = sid
-        pts, off = self._shard(si)
-        return pts[off[ci]:off[ci + 1]].astype(np.int64)
+    def _load(self, ci):
+        return self._points[
+            self._offsets[ci]:self._offsets[ci + 1]].astype(np.int64)
 
     def batches(self, batch_size=8):
         while True:
