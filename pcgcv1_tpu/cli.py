@@ -77,23 +77,73 @@ def cmd_compress(args):
     codec = _make_codec(args)
     name = args.output or os.path.splitext(
         os.path.basename(args.input))[0]
-    t0 = time.time()
-    if args.mode == "factorized":
-        strings, mn, mx, shape = codec.compress_factorized(pre)
-        fs = bitstream.FactorizedStreams(
-            strings, mn, mx, shape, pre.points_numbers, pre.cube_positions)
-        sizes = bitstream.write_factorized(name, fs, rootdir=args.rootdir)
+    num_hosts = getattr(args, "num_hosts", 1)
+    host_id = getattr(args, "host_id", -1)
+    if args.mode == "hyper" and num_hosts > 1:
+        from pcgcv1_tpu.parallel import multihost
+        t0 = time.time()
+        if host_id >= 0:
+            # one shard of a multi-host job: compress this host's slice of
+            # the canonical cube order; merge later with `merge-shards`
+            pre_h, (lo, hi) = multihost.shard_preprocess(
+                pre, num_hosts, host_id)
+            hs = codec.compress_hyper(pre_h.cubes)
+            hs.points_numbers = pre_h.points_numbers
+            hs.cube_positions = pre_h.cube_positions
+            sizes = bitstream.write_hyper(f"{name}.host{host_id}", hs,
+                                          rootdir=args.rootdir)
+            print(f"host {host_id}/{num_hosts}: cubes [{lo},{hi}) "
+                  f"encode: {time.time()-t0:.2f}s")
+        else:
+            # single-process simulation of all hosts -> merged container
+            shards = []
+            for h in range(num_hosts):
+                pre_h, _ = multihost.shard_preprocess(pre, num_hosts, h)
+                hs = codec.compress_hyper(pre_h.cubes)
+                hs.points_numbers = pre_h.points_numbers
+                hs.cube_positions = pre_h.cube_positions
+                shards.append(hs)
+            merged = multihost.merge_hyper_shards(shards)
+            sizes = bitstream.write_hyper(name, merged,
+                                          rootdir=args.rootdir)
+            print(f"encode ({num_hosts} simulated hosts): "
+                  f"{time.time()-t0:.2f}s")
     else:
-        hs = codec.compress_hyper(pre)
-        hs.points_numbers = pre.points_numbers
-        hs.cube_positions = pre.cube_positions
-        sizes = bitstream.write_hyper(name, hs, rootdir=args.rootdir)
+        t0 = time.time()
+        if args.mode == "factorized":
+            strings, mn, mx, shape = codec.compress_factorized(pre)
+            fs = bitstream.FactorizedStreams(
+                strings, mn, mx, shape, pre.points_numbers,
+                pre.cube_positions)
+            sizes = bitstream.write_factorized(name, fs,
+                                               rootdir=args.rootdir)
+        else:
+            hs = codec.compress_hyper(pre)
+            hs.points_numbers = pre.points_numbers
+            hs.cube_positions = pre.cube_positions
+            sizes = bitstream.write_hyper(name, hs, rootdir=args.rootdir)
+        print(f"encode: {time.time()-t0:.2f}s")
     n_points = int(pre.points_numbers.astype(np.int64).sum())
     total = sum(sizes.values())
-    print(f"encode: {time.time()-t0:.2f}s")
     for k, v in sizes.items():
         print(f"  {k}: {v} B ({8*v/n_points:.4f} bpp)")
     print(f"total: {total} B  bpp: {8*total/n_points:.4f}")
+
+
+def cmd_merge_shards(args):
+    """Merge per-host shard files (compress --num_hosts N --host_id H)
+    into one multi-host container."""
+    from pcgcv1_tpu.codec import bitstream
+    from pcgcv1_tpu.parallel import multihost
+    shards = []
+    for prefix in args.inputs:
+        rootdir, name = os.path.split(prefix)
+        shards.append(bitstream.read_hyper(name, rootdir or "."))
+    merged = multihost.merge_hyper_shards(shards)
+    rootdir, name = os.path.split(args.output)
+    sizes = bitstream.write_hyper(name, merged, rootdir=rootdir or ".")
+    total = sum(sizes.values())
+    print(f"merged {len(shards)} shards -> {args.output} ({total} B)")
 
 
 def cmd_decompress(args):
@@ -264,7 +314,23 @@ def main(argv=None):
     pc.add_argument("input")
     pc.add_argument("output", nargs="?")
     _add_codec_flags(pc)
+    pc.add_argument("--num_hosts", type=int, default=1,
+                    help="multi-host cube sharding (hyper mode): split the "
+                         "canonical cube order into N host slices")
+    pc.add_argument("--host_id", type=int, default=-1,
+                    help="with --num_hosts: compress only this host's "
+                         "slice to <name>.host<id> (merge later with "
+                         "merge-shards); -1 = simulate all hosts in one "
+                         "process and write the merged container")
     pc.set_defaults(fn=cmd_compress)
+
+    pms = sub.add_parser("merge-shards",
+                         help="merge per-host shard files into one "
+                              "multi-host container")
+    pms.add_argument("--inputs", nargs="+", required=True,
+                     help="shard path prefixes in host order")
+    pms.add_argument("--output", required=True, help="merged path prefix")
+    pms.set_defaults(fn=cmd_merge_shards)
 
     pd = sub.add_parser("decompress", help="bitstream files -> point cloud")
     pd.add_argument("input", help="path prefix of the compressed files")
@@ -313,6 +379,10 @@ def main(argv=None):
     pe.add_argument("--chunk", type=int, default=64)
     pe.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    pe.add_argument("--search_rho", action="store_true",
+                    help="search optimal rho_d1/rho_d2 per rate point and "
+                         "cache the winners into the INI in place "
+                         "(reference eval_ablation_studies.py:152-205)")
     pe.set_defaults(fn=cmd_eval)
 
     pg = sub.add_parser("gen-dataset", help="PLYs -> per-cube shards")

@@ -152,61 +152,135 @@ class HyperStreams:
     # global (y_min, y_max) of the coded latents (device coder): decode
     # side info that shrinks the rANS symbol bisection. () = unknown.
     y_range: tuple = ()
+    # multi-host container: per-host sub-streams in canonical cube order
+    # (each a standalone single-shard HyperStreams with its own coder tag,
+    # rANS unit and ranges). Empty for single-host streams. The decoder
+    # decodes shards independently and concatenates (parallel/multihost.py).
+    shards: tuple = ()
 
 
-def write_hyper(filename, hs: HyperStreams, rootdir="./"):
-    os.makedirs(rootdir, exist_ok=True)
-    base = os.path.join(rootdir, filename)
+def _hyper_head_bytes(hs: HyperStreams):
+    """Serialize the `.strings_head` payload for one (single-shard)
+    HyperStreams."""
+    import io
+    f = io.BytesIO()
     y_min = np.asarray(hs.y_min_vs, np.int32)
     y_max = np.asarray(hs.y_max_vs, np.int32)
-    if (y_min < -15).any() or (y_min > 0).any() or (y_max < 0).any() \
-            or (y_max > 15).any():
+    if hs.coder != "device" and (
+            (y_min < -15).any() or (y_min > 0).any() or (y_max < 0).any()
+            or (y_max > 15).any()):
         raise ValueError(
             "hyper container packs per-cube ranges as uint8 = max*16 - min, "
             "requiring min in [-15,0] and max in [0,15] "
             f"(got min {y_min.min()}..{y_min.max()}, "
             f"max {y_max.min()}..{y_max.max()}); "
             "reference format constraint (inout_bitstream.py:95-96)")
+    if hs.coder == "device":
+        # v4 device tag: int16 -32768 marker. y is ONE chained-rANS
+        # blob (entropy/rans.py), so there are no per-cube ranges or
+        # lengths; the header carries the coding-unit geometry and,
+        # for prior='int', the shipped activation scales.
+        if len(hs.y_strings) != 1:
+            raise ValueError("device-coder streams are a single blob")
+        f.write(np.array(-32768, np.int16).tobytes())
+        f.write(np.array(4, np.uint8).tobytes())           # version
+        flags = (1 if hs.prior == "int" else 0) \
+            | (2 if hs.y_range else 0)
+        f.write(np.array(flags, np.uint8).tobytes())
+        f.write(np.array(len(hs.points_numbers)
+                         if hs.points_numbers is not None
+                         else hs.z_shape[0],
+                         np.uint16).tobytes())
+        f.write(np.array(int(np.log2(hs.lanes)), np.uint8).tobytes())
+        f.write(np.array(hs.chunk, np.uint16).tobytes())
+        if hs.prior == "int":
+            scales = np.asarray(hs.prior_scales, np.int8)
+            f.write(np.array(len(scales), np.uint8).tobytes())
+            f.write(scales.tobytes())
+        if hs.y_range:
+            f.write(np.asarray(hs.y_range, np.int8).tobytes())
+    else:
+        f.write(np.array(len(hs.y_strings), np.int16).tobytes())
+        f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
+        for s in hs.y_strings:
+            n = len(s)
+            if n <= 255:
+                f.write(np.array(n, np.uint8).tobytes())
+            elif n <= 32767:
+                f.write(np.array(0, np.uint8).tobytes())
+                f.write(np.array(n, np.int16).tobytes())
+            else:
+                raise ValueError(
+                    f"per-cube stream of {n} bytes exceeds the "
+                    "reference container's int16 length field "
+                    "(inout_bitstream.py:97-103)")
+    f.write(np.array(hs.y_shape, np.int16).tobytes())
+    return f.getvalue()
+
+
+def _parse_hyper_head(f):
+    """Parse a `.strings_head` payload from a binary file object.
+
+    Returns dict with keys n_cubes, coder, lanes, chunk, prior,
+    prior_scales, y_range, y_min_vs, y_max_vs, lens (None for device
+    streams), y_shape.
+    """
+    n_cubes = int(np.frombuffer(f.read(2), np.int16)[0])
+    coder, lanes, chunk = "host", 0, 0
+    prior, prior_scales, y_range = "float", (), ()
+    if n_cubes == -32768:
+        coder = "device"
+        version = int(np.frombuffer(f.read(1), np.uint8)[0])
+        if version != 4:
+            raise ValueError(
+                f"device stream format v{version} != v4 (encoded by an "
+                "incompatible build)")
+        flags = int(np.frombuffer(f.read(1), np.uint8)[0])
+        n_cubes = int(np.frombuffer(f.read(2), np.uint16)[0])
+        lanes = 1 << int(np.frombuffer(f.read(1), np.uint8)[0])
+        chunk = int(np.frombuffer(f.read(2), np.uint16)[0])
+        if flags & 1:
+            prior = "int"
+            ns = int(np.frombuffer(f.read(1), np.uint8)[0])
+            prior_scales = tuple(
+                int(s) for s in np.frombuffer(f.read(ns), np.int8))
+        if flags & 2:
+            y_range = tuple(
+                int(v) for v in np.frombuffer(f.read(2), np.int8))
+        y_min_vs = np.zeros(n_cubes, np.int32)
+        y_max_vs = np.zeros(n_cubes, np.int32)
+        lens = None
+    elif n_cubes < 0:
+        raise ValueError(
+            "unrecognized .strings_head tag (stream from an "
+            "incompatible build)")
+    else:
+        packed = np.frombuffer(f.read(n_cubes), np.uint8).astype(
+            np.int32)
+        y_max_vs = packed // 16
+        y_min_vs = -(packed % 16)
+        lens = []
+        for _ in range(n_cubes):
+            l = int(np.frombuffer(f.read(1), np.uint8)[0])
+            if l == 0:
+                l = int(np.frombuffer(f.read(2), np.int16)[0])
+            lens.append(l)
+    y_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
+    return dict(n_cubes=n_cubes, coder=coder, lanes=lanes, chunk=chunk,
+                prior=prior, prior_scales=prior_scales, y_range=y_range,
+                y_min_vs=y_min_vs, y_max_vs=y_max_vs, lens=lens,
+                y_shape=y_shape)
+
+
+def write_hyper(filename, hs: HyperStreams, rootdir="./"):
+    if getattr(hs, "shards", ()):
+        return write_hyper_multihost(filename, hs.shards,
+                                     hs.points_numbers, hs.cube_positions,
+                                     rootdir=rootdir)
+    os.makedirs(rootdir, exist_ok=True)
+    base = os.path.join(rootdir, filename)
     with open(base + ".strings_head", "wb") as f:
-        if hs.coder == "device":
-            # v4 device tag: int16 -32768 marker. y is ONE chained-rANS
-            # blob (entropy/rans.py), so there are no per-cube ranges or
-            # lengths; the header carries the coding-unit geometry and,
-            # for prior='int', the shipped activation scales.
-            if len(hs.y_strings) != 1:
-                raise ValueError("device-coder streams are a single blob")
-            f.write(np.array(-32768, np.int16).tobytes())
-            f.write(np.array(4, np.uint8).tobytes())           # version
-            flags = (1 if hs.prior == "int" else 0) \
-                | (2 if hs.y_range else 0)
-            f.write(np.array(flags, np.uint8).tobytes())
-            f.write(np.array(len(hs.points_numbers)
-                             if hs.points_numbers is not None else 0,
-                             np.uint16).tobytes())
-            f.write(np.array(int(np.log2(hs.lanes)), np.uint8).tobytes())
-            f.write(np.array(hs.chunk, np.uint16).tobytes())
-            if hs.prior == "int":
-                scales = np.asarray(hs.prior_scales, np.int8)
-                f.write(np.array(len(scales), np.uint8).tobytes())
-                f.write(scales.tobytes())
-            if hs.y_range:
-                f.write(np.asarray(hs.y_range, np.int8).tobytes())
-        else:
-            f.write(np.array(len(hs.y_strings), np.int16).tobytes())
-            f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
-            for s in hs.y_strings:
-                n = len(s)
-                if n <= 255:
-                    f.write(np.array(n, np.uint8).tobytes())
-                elif n <= 32767:
-                    f.write(np.array(0, np.uint8).tobytes())
-                    f.write(np.array(n, np.int16).tobytes())
-                else:
-                    raise ValueError(
-                        f"per-cube stream of {n} bytes exceeds the "
-                        "reference container's int16 length field "
-                        "(inout_bitstream.py:97-103)")
-        f.write(np.array(hs.y_shape, np.int16).tobytes())
+        f.write(_hyper_head_bytes(hs))
     with open(base + ".strings", "wb") as f:
         for s in hs.y_strings:
             f.write(s)
@@ -227,53 +301,151 @@ def write_hyper(filename, hs: HyperStreams, rootdir="./"):
     }
 
 
+# Multi-host container marker in `.strings_head` (the single-shard device
+# coder uses -32768; host-coded heads start with a positive cube count).
+MULTIHOST_MAGIC = -32767
+MULTIHOST_VERSION = 1
+
+
+def write_hyper_multihost(filename, shards, points_numbers, cube_positions,
+                          rootdir="./"):
+    """Write a multi-host container: per-host shard streams framed into the
+    standard five files (the TPU-native equivalent of the reference
+    single-host container, SURVEY.md §2 parallelism checklist).
+
+    Layout:
+      .strings_head  = int16 -32767 | uint8 version | uint16 n_shards
+                       | per shard: uint16 n_cubes, uint32 head_len,
+                                    uint32 y_len, uint32 z_len
+                       | concatenated per-shard standard heads
+      .strings       = concatenated per-shard y payloads
+      .strings_hyper = concatenated per-shard z segments (each the standard
+                       int16[5] shape | int8 min,max | stream layout)
+      .pointnums / .cubepos = global, canonical cube order.
+
+    Each shard decodes independently (its own coder tag, rANS unit,
+    ranges), so per-host encode is byte-exact with single-host encode of
+    the same cube slice.
+    """
+    os.makedirs(rootdir, exist_ok=True)
+    base = os.path.join(rootdir, filename)
+    heads, y_payloads, z_segments = [], [], []
+    for sh in shards:
+        heads.append(_hyper_head_bytes(sh))
+        y_payloads.append(b"".join(sh.y_strings))
+        z_segments.append(np.array(sh.z_shape, np.int16).tobytes()
+                          + np.array((sh.z_min_v, sh.z_max_v),
+                                     np.int8).tobytes()
+                          + sh.z_strings)
+    with open(base + ".strings_head", "wb") as f:
+        f.write(np.array(MULTIHOST_MAGIC, np.int16).tobytes())
+        f.write(np.array(MULTIHOST_VERSION, np.uint8).tobytes())
+        f.write(np.array(len(shards), np.uint16).tobytes())
+        for sh, h, y, z in zip(shards, heads, y_payloads, z_segments):
+            f.write(np.array(int(sh.z_shape[0]), np.uint16).tobytes())
+            f.write(np.array([len(h), len(y), len(z)],
+                             np.uint32).tobytes())
+        for h in heads:
+            f.write(h)
+    with open(base + ".strings", "wb") as f:
+        for y in y_payloads:
+            f.write(y)
+    with open(base + ".strings_hyper", "wb") as f:
+        for z in z_segments:
+            f.write(z)
+    with open(base + ".pointnums", "wb") as f:
+        f.write(np.asarray(points_numbers, np.uint16).tobytes())
+    with open(base + ".cubepos", "wb") as f:
+        f.write(encode_cube_positions(cube_positions))
+    return {
+        "strings": os.path.getsize(base + ".strings"),
+        "strings_head": os.path.getsize(base + ".strings_head"),
+        "strings_hyper": os.path.getsize(base + ".strings_hyper"),
+        "pointnums": os.path.getsize(base + ".pointnums"),
+        "cubepos": os.path.getsize(base + ".cubepos"),
+    }
+
+
+def _read_hyper_multihost(f_head, base):
+    version = int(np.frombuffer(f_head.read(1), np.uint8)[0])
+    if version != MULTIHOST_VERSION:
+        raise ValueError(
+            f"multi-host container v{version} != v{MULTIHOST_VERSION} "
+            "(encoded by an incompatible build)")
+    n_shards = int(np.frombuffer(f_head.read(2), np.uint16)[0])
+    table = []
+    for _ in range(n_shards):
+        nc = int(np.frombuffer(f_head.read(2), np.uint16)[0])
+        hl, yl, zl = np.frombuffer(f_head.read(12), np.uint32)
+        table.append((nc, int(hl), int(yl), int(zl)))
+    heads = [_parse_hyper_head(f_head) for _ in table]
+    with open(base + ".strings", "rb") as f:
+        y_raw = [f.read(yl) for _, _, yl, _ in table]
+    z_parts = []
+    with open(base + ".strings_hyper", "rb") as f:
+        for _, _, _, zl in table:
+            seg = f.read(zl)
+            z_shape = tuple(int(s) for s in np.frombuffer(seg[:10],
+                                                          np.int16))
+            z_min_v, z_max_v = np.frombuffer(seg[10:12], np.int8)
+            z_parts.append((z_shape, int(z_min_v), int(z_max_v), seg[12:]))
+    with open(base + ".pointnums", "rb") as f:
+        points_numbers = np.frombuffer(f.read(), np.uint16)
+    with open(base + ".cubepos", "rb") as f:
+        cube_positions = decode_cube_positions(f.read())
+    # the octree position codec does not preserve order; per-shard slices
+    # are of the canonical cube order (parallel/multihost.host_slices), so
+    # recover it before slicing (ops.partition.canonical_order)
+    from pcgcv1_tpu.ops.partition import canonical_order
+    cube_positions = np.asarray(cube_positions)[
+        canonical_order(cube_positions)]
+    shards = []
+    off = 0
+    for (nc, _, _, _), h, y, (z_shape, z_mn, z_mx, z_str) in zip(
+            table, heads, y_raw, z_parts):
+        if h["lens"] is not None:
+            pos, ys = 0, []
+            for l in h["lens"]:
+                ys.append(y[pos:pos + l])
+                pos += l
+        else:
+            ys = [y]
+        shards.append(HyperStreams(
+            ys, h["y_min_vs"], h["y_max_vs"], h["y_shape"],
+            z_str, z_mn, z_mx, z_shape,
+            points_numbers[off:off + nc], cube_positions[off:off + nc],
+            coder=h["coder"], lanes=h["lanes"], chunk=h["chunk"],
+            prior=h["prior"], prior_scales=h["prior_scales"],
+            y_range=h["y_range"]))
+        off += nc
+    first = shards[0]
+    total = sum(t[0] for t in table)
+    return HyperStreams(
+        [s for sh in shards for s in sh.y_strings],
+        np.concatenate([sh.y_min_vs for sh in shards]),
+        np.concatenate([sh.y_max_vs for sh in shards]),
+        first.y_shape,
+        b"".join(sh.z_strings for sh in shards),
+        min(sh.z_min_v for sh in shards),
+        max(sh.z_max_v for sh in shards),
+        (total,) + tuple(first.z_shape[1:]),
+        points_numbers, cube_positions,
+        coder=first.coder, lanes=first.lanes, chunk=first.chunk,
+        prior=first.prior, prior_scales=first.prior_scales,
+        y_range=first.y_range, shards=tuple(shards))
+
+
 def read_hyper(filename, rootdir="./"):
     base = os.path.join(rootdir, filename)
     with open(base + ".strings_head", "rb") as f:
-        n_cubes = int(np.frombuffer(f.read(2), np.int16)[0])
-        coder, lanes, chunk = "host", 0, 0
-        prior, prior_scales, y_range = "float", (), ()
-        if n_cubes == -32768:
-            coder = "device"
-            version = int(np.frombuffer(f.read(1), np.uint8)[0])
-            if version != 4:
-                raise ValueError(
-                    f"device stream format v{version} != v4 (encoded by an "
-                    "incompatible build)")
-            flags = int(np.frombuffer(f.read(1), np.uint8)[0])
-            n_cubes = int(np.frombuffer(f.read(2), np.uint16)[0])
-            lanes = 1 << int(np.frombuffer(f.read(1), np.uint8)[0])
-            chunk = int(np.frombuffer(f.read(2), np.uint16)[0])
-            if flags & 1:
-                prior = "int"
-                ns = int(np.frombuffer(f.read(1), np.uint8)[0])
-                prior_scales = tuple(
-                    int(s) for s in np.frombuffer(f.read(ns), np.int8))
-            if flags & 2:
-                y_range = tuple(
-                    int(v) for v in np.frombuffer(f.read(2), np.int8))
-            y_min_vs = np.zeros(n_cubes, np.int32)
-            y_max_vs = np.zeros(n_cubes, np.int32)
-            lens = None
-        elif n_cubes < 0:
-            raise ValueError(
-                "unrecognized .strings_head tag (stream from an "
-                "incompatible build)")
-        else:
-            packed = np.frombuffer(f.read(n_cubes), np.uint8).astype(
-                np.int32)
-            y_max_vs = packed // 16
-            y_min_vs = -(packed % 16)
-            lens = []
-            for _ in range(n_cubes):
-                l = int(np.frombuffer(f.read(1), np.uint8)[0])
-                if l == 0:
-                    l = int(np.frombuffer(f.read(2), np.int16)[0])
-                lens.append(l)
-        y_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
+        tag = int(np.frombuffer(f.read(2), np.int16)[0])
+        if tag == MULTIHOST_MAGIC:
+            return _read_hyper_multihost(f, base)
+        f.seek(0)
+        h = _parse_hyper_head(f)
     with open(base + ".strings", "rb") as f:
-        y_strings = [f.read(l) for l in lens] if lens is not None \
-            else [f.read()]
+        y_strings = ([f.read(l) for l in h["lens"]]
+                     if h["lens"] is not None else [f.read()])
     with open(base + ".strings_hyper", "rb") as f:
         z_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
         z_min_v, z_max_v = np.frombuffer(f.read(2), np.int8)
@@ -282,9 +454,11 @@ def read_hyper(filename, rootdir="./"):
         points_numbers = np.frombuffer(f.read(), np.uint16)
     with open(base + ".cubepos", "rb") as f:
         cube_positions = decode_cube_positions(f.read())
-    return HyperStreams(y_strings, y_min_vs, y_max_vs, y_shape,
+    return HyperStreams(y_strings, h["y_min_vs"], h["y_max_vs"],
+                        h["y_shape"],
                         z_strings, int(z_min_v), int(z_max_v), z_shape,
                         points_numbers, cube_positions,
-                        coder=coder, lanes=lanes, chunk=chunk,
-                        prior=prior, prior_scales=prior_scales,
-                        y_range=y_range)
+                        coder=h["coder"], lanes=h["lanes"],
+                        chunk=h["chunk"], prior=h["prior"],
+                        prior_scales=h["prior_scales"],
+                        y_range=h["y_range"])

@@ -61,7 +61,17 @@ def preprocess_points(points, scale=1.0, cube_size=64, min_num=64):
     flat_ids = np.unique(flat)  # sorted, deduped (cube-major)
     bounds = np.searchsorted(flat_ids,
                              np.arange(1, b + 1, dtype=np.int64) * (cs**3))
-    points_numbers = np.diff(np.concatenate([[0], bounds])).astype(np.uint16)
+    counts = np.diff(np.concatenate([[0], bounds]))
+    if counts.max(initial=0) > np.iinfo(np.uint16).max:
+        # the container stores per-cube counts as uint16 (reference
+        # inout_bitstream.py pointnums format); a wrapped count would
+        # silently corrupt the decoder's top-k k. 64^3 cubes can't hit
+        # this (max 262,144 > 65,535 IS reachable only for cube_size>40
+        # fully dense cubes — unseen in practice, but fail loudly).
+        raise OverflowError(
+            f"cube with {counts.max()} occupied voxels exceeds the uint16 "
+            f"pointnums container field; reduce cube_size or scale")
+    points_numbers = counts.astype(np.uint16)
     # uint8 occupancy: 4x less host memory/glue than f32 and the codec's
     # transport dtype directly (transforms._occupancy_u8 passes it through)
     cubes = np.zeros(b * cs * cs * cs, np.uint8)

@@ -1015,7 +1015,12 @@ class PointCloudCodec:
 
         The stream itself says which entropy coder produced it; decode
         dispatches on that tag, not on this codec's ``coder`` setting.
+        Multi-host containers decode shard by shard (each shard is an
+        independent coding unit) and concatenate in canonical cube order.
         """
+        if getattr(hs, "shards", ()):
+            return np.concatenate(
+                [self.decompress_hyper(sh) for sh in hs.shards], axis=0)
         if getattr(hs, "coder", "host") == "device":
             return self._decode_hyper_device(hs, "synthesis")
         return self._decode_hyper_pipeline(hs, "synthesis")
@@ -1026,6 +1031,14 @@ class PointCloudCodec:
         bit-packed download)."""
         nums = np.asarray(points_numbers if points_numbers is not None
                           else hs.points_numbers, np.int32)
+        if getattr(hs, "shards", ()):
+            parts, off = [], 0
+            for sh in hs.shards:
+                n = int(sh.z_shape[0])
+                parts.append(self.decompress_hyper_masks(
+                    sh, nums[off:off + n], rho))
+                off += n
+            return np.concatenate(parts, axis=0)
         if getattr(hs, "coder", "host") == "device":
             packed = self._decode_hyper_device(
                 hs, "classify", extra_arrays=[nums],

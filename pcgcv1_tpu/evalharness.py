@@ -212,6 +212,20 @@ def run_eval(args):
                     model=args.modelname, mode=args.mode,
                     ckpt_dir=s["ckpt_dir"], dtype=dtype, chunk=args.chunk,
                     cube_size=s.getint("cube_size", 64))
+                if getattr(args, "search_rho", False):
+                    # reference behavior: search once per rate point and
+                    # cache the winners into the INI in place
+                    # (eval_ablation_studies.py:152-205)
+                    for metric in ("d1", "d2"):
+                        rho, psnr = search_optimal_rho(
+                            input_file, codec, s, args.res,
+                            os.path.join(args.rootdir, "streams"),
+                            section, metric=metric)
+                        s[f"rho_{metric}"] = str(rho)
+                        print(f"[{section}] optimal rho_{metric}={rho} "
+                              f"({psnr:.4f} dB)")
+                    with open(args.cfgdir, "w") as f:
+                        cfg.write(f)
                 row = eval_one_rate(
                     input_file, codec, s.getfloat("scale", 1.0),
                     s.getint("cube_size", 64), s.getint("min_num", 64),
@@ -220,7 +234,13 @@ def run_eval(args):
                     section, points_a=pts, normals_a=normals,
                     fixed_thres=s.getfloat("fixed_thres", None))
             except Exception as e:  # noqa: BLE001
-                print(f"[{input_file} {section}] FAILED: {e!r}")
+                import traceback
+                tb = traceback.format_exc()
+                print(f"[{input_file} {section}] FAILED: {e!r}\n{tb}")
+                tb_path = os.path.join(
+                    args.rootdir, f"FAILED_{section}.traceback.txt")
+                with open(tb_path, "w") as f:
+                    f.write(f"{input_file} {section}\n{tb}")
                 rows.append({"rate": section, "error": repr(e)})
                 continue
             rows.append(row)

@@ -29,7 +29,7 @@ def _psnr(peak, mse):
     return 10.0 * np.log10(3.0 * float(peak) ** 2 / mse)
 
 
-def _directional(src, dst, normals_at):
+def _directional(src, dst):
     """NN match src->dst.
 
     Returns (sq_dists [n], err_vectors [n,3], nn_indices [n]).
@@ -59,9 +59,9 @@ def pc_error(points_a, points_b, resolution, normals_a=None):
     peak = float(resolution)
 
     # direction 1: A as source, match into B; p2plane normal = n_a
-    sq_ab, err_ab, idx_ab = _directional(a, b, None)
+    sq_ab, err_ab, idx_ab = _directional(a, b)
     # direction 2: B as source, match into A; p2plane normal = n_a[idx]
-    sq_ba, err_ba, idx_ba = _directional(b, a, None)
+    sq_ba, err_ba, idx_ba = _directional(b, a)
 
     mse1 = float(sq_ab.mean())
     mse2 = float(sq_ba.mean())

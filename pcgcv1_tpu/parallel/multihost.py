@@ -55,12 +55,18 @@ def shard_preprocess(pre, num_hosts, host_id):
 
 def merge_hyper_shards(shards):
     """Merge per-host HyperStreams (in host order == canonical cube order)
-    into one HyperStreams whose y payloads cover all cubes. z streams are
-    concatenated with a shard table carried in z_shape[0] per shard.
+    into one multi-host HyperStreams.
 
-    For the standard single-z-stream container, call this only with one
-    shard per file or write one file per host; this merge targets the
-    multi-host file layout (one `.strings_hyper` holding framed shards).
+    The merged object carries the per-host sub-streams in ``.shards`` —
+    each an independent coding unit with its own coder tag/ranges/rANS
+    states, so the merge is byte-exact (no re-coding). `bitstream.
+    write_hyper` serializes it as the framed multi-host container and
+    `read_hyper` round-trips it; the codec decodes shard by shard
+    (`transforms.decompress_hyper*`).
+
+    Aggregate fields (y payload list, ranges, z_shape, side info) are also
+    populated so the merged object answers the same questions a
+    single-host HyperStreams does.
     """
     from pcgcv1_tpu.codec.bitstream import HyperStreams
 
@@ -71,9 +77,7 @@ def merge_hyper_shards(shards):
         y_min_vs=np.concatenate([sh.y_min_vs for sh in shards]),
         y_max_vs=np.concatenate([sh.y_max_vs for sh in shards]),
         y_shape=first.y_shape,
-        z_strings=b"".join(
-            len(sh.z_strings).to_bytes(4, "little") + sh.z_strings
-            for sh in shards),
+        z_strings=b"".join(sh.z_strings for sh in shards),
         z_min_v=min(sh.z_min_v for sh in shards),
         z_max_v=max(sh.z_max_v for sh in shards),
         z_shape=(sum(sh.z_shape[0] for sh in shards),) + tuple(
@@ -84,16 +88,8 @@ def merge_hyper_shards(shards):
         cube_positions=np.concatenate(
             [np.asarray(sh.cube_positions) for sh in shards])
         if first.cube_positions is not None else None,
+        coder=first.coder, lanes=first.lanes, chunk=first.chunk,
+        prior=first.prior, prior_scales=first.prior_scales,
+        y_range=first.y_range,
+        shards=tuple(shards),
     )
-
-
-def split_framed_z(z_blob, num_shards):
-    """Inverse of the z framing in merge_hyper_shards."""
-    out = []
-    off = 0
-    for _ in range(num_shards):
-        n = int.from_bytes(z_blob[off:off + 4], "little")
-        off += 4
-        out.append(z_blob[off:off + n])
-        off += n
-    return out

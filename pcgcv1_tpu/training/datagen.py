@@ -31,6 +31,8 @@ def load_mesh(path):
         return _load_obj(path)
     if ext == ".off":
         return _load_off(path)
+    if ext == ".ply":
+        return _load_ply_mesh(path)
     raise ValueError(f"unsupported mesh format {ext!r}")
 
 
@@ -68,6 +70,101 @@ def _load_off(path):
             for k in range(2, t[0]):
                 faces.append([t[1], t[k], t[k + 1]])
     return verts, np.asarray(faces, np.int64)
+
+
+_PLY_SCALARS = {
+    b"char": "i1", b"int8": "i1", b"uchar": "u1", b"uint8": "u1",
+    b"short": "i2", b"int16": "i2", b"ushort": "u2", b"uint16": "u2",
+    b"int": "i4", b"int32": "i4", b"uint": "u4", b"uint32": "u4",
+    b"float": "f4", b"float32": "f4", b"double": "f8", b"float64": "f8",
+}
+
+
+def _load_ply_mesh(path):
+    """PLY triangle mesh (ASCII or binary_little_endian) -> (verts, faces).
+
+    The reference samples PLY meshes via pyntcloud
+    (`dataprocess/mesh2pc.py:56-89`); this is the dependency-free
+    equivalent. Vertex properties beyond x/y/z are skipped; face list
+    properties fan-triangulate.
+    """
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path}: not a PLY file")
+        fmt = None
+        elements = []  # (name, count, [(prop_name, dtype | ('list', ct, it))])
+        while True:
+            tokens = f.readline().strip().split()
+            if not tokens:
+                continue
+            if tokens[0] == b"format":
+                fmt = tokens[1].decode()
+            elif tokens[0] == b"element":
+                elements.append([tokens[1], int(tokens[2]), []])
+            elif tokens[0] == b"property":
+                if tokens[1] == b"list":
+                    elements[-1][2].append(
+                        (tokens[-1], ("list", _PLY_SCALARS[tokens[2]],
+                                      _PLY_SCALARS[tokens[3]])))
+                else:
+                    elements[-1][2].append(
+                        (tokens[-1], _PLY_SCALARS[tokens[1]]))
+            elif tokens[0] == b"end_header":
+                break
+        verts, faces = None, []
+        for name, count, props in elements:
+            is_vertex = name == b"vertex"
+            is_face = name == b"face"
+            if fmt == "ascii":
+                rows = [f.readline().split() for _ in range(count)]
+                if is_vertex:
+                    names = [p[0] for p in props]
+                    ix = [names.index(axis) for axis in (b"x", b"y", b"z")]
+                    verts = np.array(
+                        [[float(r[i]) for i in ix] for r in rows])
+                elif is_face:
+                    for r in rows:
+                        n = int(r[0])
+                        idx = [int(v) for v in r[1:1 + n]]
+                        for k in range(1, n - 1):
+                            faces.append([idx[0], idx[k], idx[k + 1]])
+            elif fmt == "binary_little_endian":
+                has_list = any(isinstance(p[1], tuple) for p in props)
+                if not has_list:
+                    dt = np.dtype([(p[0].decode(), "<" + p[1])
+                                   for p in props])
+                    raw = np.frombuffer(f.read(dt.itemsize * count),
+                                        dtype=dt, count=count)
+                    if is_vertex:
+                        verts = np.stack([raw["x"], raw["y"], raw["z"]],
+                                         1).astype(np.float64)
+                else:
+                    # element with list property: parse sequentially
+                    for _ in range(count):
+                        row_vals = []
+                        for _, p in props:
+                            if isinstance(p, tuple):
+                                _, cnt_t, item_t = p
+                                n = int(np.frombuffer(
+                                    f.read(np.dtype(cnt_t).itemsize),
+                                    "<" + cnt_t)[0])
+                                items = np.frombuffer(
+                                    f.read(np.dtype(item_t).itemsize * n),
+                                    "<" + item_t, count=n)
+                                row_vals.append(items)
+                            else:
+                                f.read(np.dtype(p).itemsize)
+                        if is_face and row_vals:
+                            idx = row_vals[0].astype(np.int64)
+                            for k in range(1, len(idx) - 1):
+                                faces.append([idx[0], idx[k], idx[k + 1]])
+            else:
+                raise ValueError(f"unsupported PLY format {fmt}")
+        if verts is None:
+            raise ValueError(f"{path}: no vertex element")
+        if not faces:
+            raise ValueError(f"{path}: no triangle faces (point cloud?)")
+        return verts, np.asarray(faces, np.int64)
 
 
 # --------------------------- sampling pipeline ------------------------------

@@ -74,6 +74,43 @@ def test_eval_harness(cloud_file, tmp_path):
     assert os.path.exists(os.path.join(rootdir, "toy.png"))
 
 
+def test_mesh2pc_ply_mesh_input(tmp_path):
+    # PLY triangle meshes (the reference's pyntcloud path,
+    # dataprocess/mesh2pc.py:56-89), ASCII and binary containers
+    from pcgcv1_tpu.training import datagen
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0.2]],
+                     np.float64)
+    faces = np.array([[0, 1, 2], [1, 3, 2]], np.int64)
+    ascii_ply = tmp_path / "mesh_a.ply"
+    ascii_ply.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 4\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "element face 2\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+        + "".join(f"{v[0]} {v[1]} {v[2]}\n" for v in verts)
+        + "".join(f"3 {f[0]} {f[1]} {f[2]}\n" for f in faces))
+    bin_ply = tmp_path / "mesh_b.ply"
+    with open(bin_ply, "wb") as fh:
+        fh.write(b"ply\nformat binary_little_endian 1.0\n"
+                 b"element vertex 4\n"
+                 b"property float x\nproperty float y\nproperty float z\n"
+                 b"element face 2\n"
+                 b"property list uchar int vertex_indices\nend_header\n")
+        fh.write(np.ascontiguousarray(verts, "<f4").tobytes())
+        for f in faces:
+            fh.write(np.uint8(3).tobytes()
+                     + np.ascontiguousarray(f, "<i4").tobytes())
+    for p in (ascii_ply, bin_ply):
+        v, fa = datagen.load_mesh(str(p))
+        np.testing.assert_allclose(v, verts, atol=1e-6)
+        np.testing.assert_array_equal(fa, faces)
+        out = str(tmp_path / (p.stem + "_pc.ply"))
+        cli.main(["mesh2pc", "--input", str(p), "--output", out,
+                  "--n_points", "5000", "--resolution", "31",
+                  "--no_rotate"])
+        assert len(load_ply(out)) > 100
+
+
 def test_gen_dataset_and_mesh2pc(tmp_path):
     # tiny cube mesh (2 triangles per face would be 12; use 2 for speed)
     obj = tmp_path / "tri.obj"
