@@ -1,0 +1,151 @@
+"""Ablation-study driver.
+
+Capability parity with the reference `eval_ablation_studies.py`: auto-
+generate per-mode rate configs (reference :45-80), run the documented
+ablation suite (reference :363-395; results.ipynb cells 68-110):
+
+  1. cube_size 32 / 64 / 128 (same checkpoints — the transforms are fully
+     convolutional, so one set of weights evaluates at every cube size);
+  2. compression network: voxception vs simple, hyper vs factorized
+     (separate checkpoints per variant);
+  3. fixed threshold (fixed_thres=0) vs rho-weighted adaptive top-k;
+
+then reduce each pair to BD-rate/BD-PSNR deltas (the role of
+results.ipynb's ablation cells). Reference signs to reproduce
+(BASELINE.md): cube64 beats cube32 by ~-23% D1, cube128 ~= cube64,
+voxception beats simple by ~-46%, hyper beats factorized by ~-15%,
+adaptive beats fixed by ~-44%.
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import os
+
+from pcgcv1_tpu import evalharness
+from pcgcv1_tpu.metrics import bdrate, bdsnr
+
+
+def variant_config(path, ckpt_dirs, cube_size=64, min_num=64,
+                   fixed_thres=None, extra_scales=()):
+    """Write a rate-ladder INI for one ablation variant (the reference's
+    set_default_config, eval_ablation_studies.py:45-80 — including its
+    trick of reusing the lowest-rate checkpoint at scale 5/8 for an extra
+    low-rate point via ``extra_scales``)."""
+    cfg = configparser.ConfigParser()
+    cfg["DEFAULT"] = {"cube_size": str(cube_size), "min_num": str(min_num)}
+    if fixed_thres is not None:
+        cfg["DEFAULT"]["fixed_thres"] = str(fixed_thres)
+    i = 1
+    for scale in extra_scales:
+        cfg[f"R{i}"] = {"scale": str(scale), "ckpt_dir": ckpt_dirs[0],
+                        "rho_d1": "1.0", "rho_d2": "1.0"}
+        i += 1
+    for ck in ckpt_dirs:
+        cfg[f"R{i}"] = {"scale": "1.0", "ckpt_dir": ck,
+                        "rho_d1": "1.0", "rho_d2": "1.0"}
+        i += 1
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        cfg.write(f)
+    return path
+
+
+def _eval_variant(name, input_file, cfg_path, out_root, res, mode, model,
+                  chunk, dtype, search_rho=False):
+    """Run one variant's R-D sweep; returns the CSV path."""
+    rootdir = os.path.join(out_root, name)
+    ns = argparse.Namespace(
+        input=input_file, rootdir=rootdir, cfgdir=cfg_path, res=res,
+        mode=mode, modelname=model, chunk=chunk, dtype=dtype,
+        search_rho=search_rho)
+    evalharness.run_eval(ns)
+    base = os.path.splitext(os.path.basename(input_file))[0]
+    return os.path.join(rootdir, base + ".csv")
+
+
+def _bd_pair(csv_a, csv_b, d_metric):
+    """BD-rate/BD-PSNR of curve A vs curve B (negative = A wins)."""
+    from pcgcv1_tpu.report import load_rd_csv
+    a = load_rd_csv(csv_a, d_metric)
+    b = load_rd_csv(csv_b, d_metric)
+    return bdrate(b, a), bdsnr(b, a)
+
+
+# (variant name, mode, model, cube_size override, fixed_thres, ladder key)
+VARIANTS = [
+    ("hyper64", "hyper", "voxception", None, None, "ladder"),
+    ("hyper32", "hyper", "voxception", 32, None, "ladder"),
+    ("hyper128", "hyper", "voxception", 128, None, "ladder"),
+    ("hyper_fixed", "hyper", "voxception", None, 0.0, "ladder"),
+    ("factorized", "factorized", "voxception", None, None,
+     "factorized_ladder"),
+    ("factorized_simple", "factorized", "simple", None, None,
+     "simple_ladder"),
+]
+
+# (row label, variant A, variant B): BD of A vs B, negative = A wins.
+# Matches the reference's reported comparisons (results.ipynb 68-110).
+COMPARISONS = [
+    ("cube64_vs_cube32", "hyper64", "hyper32"),
+    ("cube128_vs_cube64", "hyper128", "hyper64"),
+    ("adaptive_vs_fixed_thres", "hyper64", "hyper_fixed"),
+    ("hyper_vs_factorized", "hyper64", "factorized"),
+    ("voxception_vs_simple", "factorized", "factorized_simple"),
+]
+
+
+def run_ablations(args):
+    ladders = {
+        "ladder": [s for s in args.ladder.split(",") if s],
+        "factorized_ladder": [s for s in (args.factorized_ladder or
+                                          "").split(",") if s],
+        "simple_ladder": [s for s in (args.simple_ladder or
+                                      "").split(",") if s],
+    }
+    os.makedirs(args.out, exist_ok=True)
+    csvs = {}
+    for name, mode, model, cs, fixed, lkey in VARIANTS:
+        cks = ladders[lkey]
+        if not cks:
+            print(f"[ablate] {name}: no checkpoints given, skipped")
+            continue
+        cube_size = cs or args.cube_size
+        # keep the partition density comparable across cube sizes: the
+        # reference keeps min_num=64 for every variant
+        cfg = variant_config(
+            os.path.join(args.out, name + ".ini"), cks,
+            cube_size=cube_size, min_num=args.min_num, fixed_thres=fixed)
+        print(f"[ablate] running {name} (mode={mode}, model={model}, "
+              f"cube={cube_size})")
+        try:
+            csvs[name] = _eval_variant(
+                name, args.input, cfg, args.out, args.res, mode, model,
+                args.chunk, args.dtype, search_rho=args.search_rho)
+        except Exception as e:  # noqa: BLE001 — one variant must not kill
+            import traceback
+            print(f"[ablate] {name} FAILED: {e!r}\n"
+                  f"{traceback.format_exc()}")
+
+    rows = []
+    for label, va, vb in COMPARISONS:
+        if va not in csvs or vb not in csvs:
+            continue
+        try:
+            row = {"comparison": label}
+            for dm in ("d1", "d2"):
+                bd_r, bd_s = _bd_pair(csvs[va], csvs[vb], dm)
+                row[f"bdrate_{dm}_pct"] = bd_r
+                row[f"bdsnr_{dm}_db"] = bd_s
+            rows.append(row)
+            print(f"[ablate] {label}: D1 BD-rate {row['bdrate_d1_pct']:+.2f}%"
+                  f"  D2 {row['bdrate_d2_pct']:+.2f}%")
+        except Exception as e:  # noqa: BLE001
+            print(f"[ablate] {label} BD computation failed: {e!r}")
+    if rows:
+        import pandas as pd
+        out_csv = os.path.join(args.out, "ablation_bd.csv")
+        pd.DataFrame(rows).to_csv(out_csv, index=False)
+        print(f"[ablate] wrote {out_csv}")
+    return rows

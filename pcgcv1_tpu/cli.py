@@ -385,6 +385,25 @@ def main(argv=None):
                          "(reference eval_ablation_studies.py:152-205)")
     pe.set_defaults(fn=cmd_eval)
 
+    pa = sub.add_parser("ablate", help="ablation suite: cube size, model, "
+                                       "threshold, entropy mode "
+                                       "(eval_ablation_studies.py role)")
+    pa.add_argument("--input", required=True, help="PLY file")
+    pa.add_argument("--out", default="artifacts/ablations")
+    pa.add_argument("--ladder", required=True,
+                    help="comma-separated hyper ckpt dirs (low->high rate)")
+    pa.add_argument("--factorized_ladder", default="")
+    pa.add_argument("--simple_ladder", default="")
+    pa.add_argument("--res", type=int, default=1024)
+    pa.add_argument("--cube_size", type=int, default=64)
+    pa.add_argument("--min_num", type=int, default=64)
+    pa.add_argument("--chunk", type=int, default=64)
+    pa.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    pa.add_argument("--search_rho", action="store_true")
+    pa.set_defaults(fn=lambda a: __import__(
+        "pcgcv1_tpu.ablation", fromlist=["run_ablations"]).run_ablations(a))
+
     pg = sub.add_parser("gen-dataset", help="PLYs -> per-cube shards")
     pg.add_argument("--input", required=True, help="glob of PLY files")
     pg.add_argument("--outdir", required=True)
