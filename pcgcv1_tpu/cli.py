@@ -52,6 +52,10 @@ def _add_codec_flags(p):
                         "'int' = integer-quantized hyper-decoder — "
                         "streams decode bit-exactly on any backend "
                         "(requires --coder device).")
+    p.add_argument("--vrn", default="xla", choices=["xla", "pallas"],
+                   help="VRN block implementation: 'xla' = native conv "
+                        "lowering; 'pallas' = banded block-Toeplitz MXU "
+                        "kernels (ops/vrn_pallas.py, voxception family)")
     p.add_argument("--rootdir", default="./compressed")
 
 
@@ -63,7 +67,8 @@ def _make_codec(args):
         model=args.modelname, mode=args.mode,
         ckpt_dir=args.ckpt_dir or None, dtype=dtype, chunk=args.chunk,
         cube_size=args.cube_size, coder=getattr(args, "coder", "host"),
-        prior=getattr(args, "prior", "float"))
+        prior=getattr(args, "prior", "float"),
+        vrn=getattr(args, "vrn", "xla"))
 
 
 def cmd_compress(args):

@@ -34,6 +34,7 @@ chunk size, or chip count.
 
 from __future__ import annotations
 
+import os
 import warnings
 
 import jax
@@ -112,13 +113,19 @@ class PointCloudCodec:
     def __init__(self, model="voxception", mode="hyper", ckpt_dir=None,
                  dtype=jnp.float32, chunk=64, cube_size=64, mesh=None,
                  seed=0, coder="host", lanes=rans.DEFAULT_LANES,
-                 prior="float"):
+                 prior="float", vrn="xla"):
         if mode not in ("hyper", "factorized"):
             raise ValueError(f"unknown mode {mode!r}")
         if coder not in ("host", "device"):
             raise ValueError(f"unknown coder {coder!r}")
         if prior not in ("float", "int"):
             raise ValueError(f"unknown prior {prior!r}")
+        if vrn not in ("xla", "pallas"):
+            raise ValueError(f"unknown vrn impl {vrn!r}")
+        if vrn == "pallas" and get_model(model).name != "voxception":
+            raise ValueError("vrn='pallas' (banded block-Toeplitz VRN "
+                             "kernels, ops/vrn_pallas.py) applies to the "
+                             "voxception family only")
         if prior == "int" and (mode != "hyper" or coder != "device"):
             raise ValueError(
                 "prior='int' (cross-platform integer prior codes, "
@@ -129,6 +136,9 @@ class PointCloudCodec:
         self._qw = None          # lazy: derived integer hyper-decoder codes
         self.coder = coder
         self.lanes = int(lanes)
+        self.vrn = vrn
+        self._dtype = dtype
+        self._vrn_tab = {}       # lazy banded tables (vrn == "pallas")
         self.family = get_model(model)
         self.mode = mode
         self.hyper = mode == "hyper"
@@ -226,6 +236,16 @@ class PointCloudCodec:
         mods = self.modules
 
         def apply(mod, params_key, x):
+            if self.vrn == "pallas" and mod in ("analysis", "synthesis"):
+                # banded block-Toeplitz VRN kernels (ops/vrn_pallas.py);
+                # tables are jit constants built from the concrete
+                # checkpoint weights, so params_key is deliberately unused
+                from pcgcv1_tpu.ops import vrn_pallas
+                fn = (vrn_pallas.apply_analysis if mod == "analysis"
+                      else vrn_pallas.apply_synthesis)
+                return fn(self._vrn_tables(mod)[0], self._vrn_tables(mod)[1],
+                          x, dtype=self._dtype,
+                          interpret=self._pallas_interpret())
             return mods[mod].apply({"params": params_key}, x)
 
         if name.startswith("sv:"):
@@ -238,11 +258,12 @@ class PointCloudCodec:
             base_fn = self._jitted(name[3:])
             cs = self.cube_size
 
-            def fn(params, ids):
+            def fn(params, ids, *rest):
                 x = jnp.zeros((self.chunk * cs ** 3,), jnp.uint8)
                 x = x.at[ids].set(1, mode="drop")
                 return base_fn(params,
-                               x.reshape(self.chunk, cs, cs, cs, 1))
+                               x.reshape(self.chunk, cs, cs, cs, 1),
+                               *rest)
         elif name == "analysis_q":
             # x uint8 -> rounded latents int8 (factorized encode path)
             def fn(params, x8):
@@ -388,6 +409,22 @@ class PointCloudCodec:
                 if n < pad_to:
                     zh = jnp.pad(zh, ((0, pad_to - n),) + ((0, 0),) * 4)
                 return zh, states, ptr
+        elif name.startswith("analysis_cdf_encode:"):
+            # two-pass factorized device encode, pass B: re-run analysis
+            # fused with the chained table-CDF rANS encode, so no chunk's
+            # latents are ever retained (or downloaded) — encoder HBM stays
+            # O(chunk) at any workload size. Pass A (analysis_q_mm) only
+            # fetched the global range the CDF table needs.
+            _, n, cap = name.split(":")
+            n, cap = int(n), int(cap)
+
+            def fn(params, x8, table, min_v, states):
+                y = apply("analysis", params["analysis"],
+                          x8.astype(jnp.float32))
+                yv = jnp.clip(jnp.round(y), -Y_CLIP, Y_CLIP).astype(
+                    jnp.int8)
+                sym = yv[:n].astype(jnp.int32).reshape(-1) - min_v
+                return rans.rans_encode_cdf(sym, table, states, cap)
         elif name.startswith("analysis_q_mm:"):
             # factorized device encode stage A: rounded latents + the range
             # of the n REAL cubes (padding excluded; two scalars are the
@@ -406,6 +443,25 @@ class PointCloudCodec:
         jfn = jax.jit(fn)
         self._jit_cache[cache_key] = jfn
         return jfn
+
+    def _pallas_interpret(self):
+        """Pallas interpret mode off the TPU (CPU tests run the same
+        kernels through the interpreter; numerics identical at f32)."""
+        return jax.devices()[0].platform != "tpu"
+
+    def _vrn_tables(self, which):
+        """(concrete param subtree, banded tables) for one transform —
+        built once per codec from the checkpoint weights."""
+        if which not in self._vrn_tab:
+            from pcgcv1_tpu.ops import vrn_pallas
+            sub = jax.tree.map(np.asarray,
+                               jax.device_get(self.params[which]))
+            # synthesis operates at the cube's latent->output widths; its
+            # "cube_size" arg is the OUTPUT width (the input cube size)
+            tables = vrn_pallas.build_transform_tables(
+                which, sub, self.cube_size, dtype=self._dtype)
+            self._vrn_tab[which] = (sub, tables)
+        return self._vrn_tab[which]
 
     def _qprior_weights(self):
         """Integer hyper-decoder weight codes, derived once per codec from
@@ -571,19 +627,28 @@ class PointCloudCodec:
         return strings, min_v, max_v, values.shape
 
     def _compress_factorized_device(self, cubes):
-        # NOTE: unlike the streaming hyper encoder, this retains every
-        # chunk's yv on device until the pass-B chain runs — the CDF table
-        # needs the GLOBAL symbol range first (~65 KB/cube int8; fine to
-        # ~10k cubes). Split very large scans into separate streams.
+        # The CDF table needs the GLOBAL symbol range before any coding.
+        # Small workloads retain each chunk's yv on device between pass A
+        # (range) and pass B (chained encode) — ~65 KB/cube int8. Above
+        # PCGC_FACTORIZED_TWOPASS cubes (default 4096, ~270 MB retained)
+        # the encoder switches to true two-pass: pass A fetches only the
+        # range scalars, pass B re-runs analysis fused with the rANS
+        # encode (analysis twice, HBM O(chunk)) — vox12-scale sweeps no
+        # longer accumulate O(total cubes) latents.
         b = self._n_cubes(cubes)
         elems = int(np.prod(self._y_spatial))
         lanes = self._table_lanes(b)
+        two_pass = b > int(os.environ.get("PCGC_FACTORIZED_TWOPASS",
+                                          "4096"))
         chunks, mns, mxs = [], [], []
+        enc_prefix = ""
         for i, prefix, args in self._feed_chunks(cubes):
             n = min(self.chunk, b - i)
-            yv, mn, mx = self._jitted(f"{prefix}analysis_q_mm:{n}")(
+            enc_prefix = prefix
+            out = self._jitted(f"{prefix}analysis_q_mm:{n}")(
                 self.params, *args)
-            chunks.append((i, yv))
+            yv, mn, mx = out
+            chunks.append((i,) + (tuple(args) if two_pass else (yv,)))
             mns.append(mn)
             mxs.append(mx)
         min_v = min(int(np.asarray(m)) for m in mns)
@@ -591,8 +656,10 @@ class PointCloudCodec:
         if max_v == min_v:
             max_v += 1  # a single-symbol alphabet would make freq == TOTAL
         trows = self._lane_table(min_v, max_v, lanes)
+        enc_name = (enc_prefix + "analysis_cdf_encode" if two_pass
+                    else "cdf_encode")
         blob, _ = self._chained_encode(
-            chunks, "cdf_encode", (trows, jnp.int32(min_v)), b, elems,
+            chunks, enc_name, (trows, jnp.int32(min_v)), b, elems,
             lanes)
         strings = (bitstream.FACTORIZED_DEVICE_MAGIC
                    + bytes([int(np.log2(lanes)) & 0xFF]) + blob)

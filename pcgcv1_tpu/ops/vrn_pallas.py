@@ -394,3 +394,95 @@ def vrn_block_pallas(x, tables, interpret=False):
       tables["b12"], tables["b22"], tables["b23"])
 
     return out.reshape(bsz, width, width, width, c).astype(jnp.float32)
+
+
+# ------------------------ full-transform integration -------------------------
+#
+# The codec-facing path (PointCloudCodec(vrn="pallas")): non-VRN layers run
+# through the SAME flax modules bound to the same param subtrees (bit-equal
+# with the XLA path by construction), VRN blocks run through the banded
+# Pallas kernels above. Tables are built once per codec instance from the
+# concrete checkpoint weights and closed over as jit constants.
+
+ANALYSIS_VRN_GROUPS = (("vrn1", 1), ("vrn2", 2), ("vrn3", 4))
+SYNTHESIS_VRN_GROUPS = (("dvrn1", 4), ("dvrn2", 2), ("dvrn3", 1))
+
+
+def build_transform_tables(which, params, cube_size, dtype=jnp.bfloat16):
+    """Banded tables for every VRN block of one transform.
+
+    Args:
+      which: "analysis" | "synthesis".
+      params: the transform's param subtree (concrete arrays).
+      cube_size: input cube width W (analysis) / output width (synthesis).
+
+    Returns {block_name: tables} (reference topology:
+    model_voxception.py:71-214 — three groups of three blocks).
+    """
+    groups = (ANALYSIS_VRN_GROUPS if which == "analysis"
+              else SYNTHESIS_VRN_GROUPS)
+    tables = {}
+    for gname, down in groups:
+        width = cube_size // down
+        for i in (1, 2, 3):
+            name = f"{gname}_{i}"
+            tables[name] = build_vrn_tables(params[name], width,
+                                            dtype=dtype)
+    return tables
+
+
+def apply_analysis(params, tables, x, dtype=jnp.bfloat16,
+                   interpret=False):
+    """AnalysisTransform with Pallas VRN blocks (models/voxception.py
+    AnalysisTransform topology; reference model_voxception.py:71-144)."""
+    import flax.linen as nn
+    d = dtype
+    x = nn.relu(nn.Conv(16, (3, 3, 3), padding="SAME", dtype=d,
+                        name="conv_in").apply(
+        {"params": params["conv_in"]}, x.astype(d)))
+    for i in range(3):
+        x = vrn_block_pallas(x, tables[f"vrn1_{i+1}"],
+                             interpret=interpret).astype(d)
+    x = nn.relu(nn.Conv(32, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
+                        use_bias=False, dtype=d).apply(
+        {"params": params["down_1"]}, x))
+    for i in range(3):
+        x = vrn_block_pallas(x, tables[f"vrn2_{i+1}"],
+                             interpret=interpret).astype(d)
+    x = nn.relu(nn.Conv(64, (3, 3, 3), strides=(2, 2, 2), padding="SAME",
+                        use_bias=False, dtype=d).apply(
+        {"params": params["down_2"]}, x))
+    for i in range(3):
+        x = vrn_block_pallas(x, tables[f"vrn3_{i+1}"],
+                             interpret=interpret).astype(d)
+    x = nn.Conv(16, (3, 3, 3), padding="SAME", dtype=d).apply(
+        {"params": params["conv_out"]}, x)
+    return x.astype(jnp.float32)
+
+
+def apply_synthesis(params, tables, x, dtype=jnp.bfloat16,
+                    interpret=False):
+    """SynthesisTransform with Pallas VRN blocks (models/voxception.py
+    SynthesisTransform topology; reference model_voxception.py:147-214)."""
+    import flax.linen as nn
+    d = dtype
+    x = nn.relu(nn.Conv(64, (3, 3, 3), padding="SAME", dtype=d).apply(
+        {"params": params["deconv_in"]}, x.astype(d)))
+    for i in range(3):
+        x = vrn_block_pallas(x, tables[f"dvrn1_{i+1}"],
+                             interpret=interpret).astype(d)
+    x = nn.relu(nn.ConvTranspose(32, (3, 3, 3), strides=(2, 2, 2),
+                                 padding="SAME", dtype=d).apply(
+        {"params": params["up_1"]}, x))
+    for i in range(3):
+        x = vrn_block_pallas(x, tables[f"dvrn2_{i+1}"],
+                             interpret=interpret).astype(d)
+    x = nn.relu(nn.ConvTranspose(16, (3, 3, 3), strides=(2, 2, 2),
+                                 padding="SAME", dtype=d).apply(
+        {"params": params["up_2"]}, x))
+    for i in range(3):
+        x = vrn_block_pallas(x, tables[f"dvrn3_{i+1}"],
+                             interpret=interpret).astype(d)
+    x = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=d).apply(
+        {"params": params["deconv_out"]}, x)
+    return x.astype(jnp.float32)

@@ -288,6 +288,21 @@ class TestDeviceCoderFactorized:
         # same tables, same symbols: only framing + lane flush differ
         assert len(s_d) <= len(s_h) * 1.03 + 16 * 4 + 64
 
+    def test_two_pass_encode_identical(self, pre, monkeypatch):
+        # O(chunk)-memory two-pass encode (fused analysis+rANS pass B)
+        # must produce byte-identical streams to the retained-latents path
+        dev = _codec("factorized", coder="device", lanes=16)
+        s_ref, mn, mx, shape = dev.compress_factorized(pre.cubes)
+        monkeypatch.setenv("PCGC_FACTORIZED_TWOPASS", "0")
+        dev2 = _codec("factorized", coder="device", lanes=16)
+        dev2.params = dev.params
+        s_tp, mn2, mx2, _ = dev2.compress_factorized(pre.cubes)
+        assert (mn2, mx2) == (mn, mx)
+        assert s_tp == s_ref
+        # and the sparse feed takes the same two-pass path
+        s_sp, *_ = dev2.compress_factorized(pre)
+        assert s_sp == s_ref
+
 
 class TestSparseFeed:
     """Sparse upload (flat voxel ids + device voxelize) must produce
