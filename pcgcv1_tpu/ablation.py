@@ -117,12 +117,15 @@ def run_ablations(args):
         cfg = variant_config(
             os.path.join(args.out, name + ".ini"), cks,
             cube_size=cube_size, min_num=args.min_num, fixed_thres=fixed)
+        # constant voxels-per-chunk across cube sizes (a 128^3 cube is 8x
+        # the volume of a 64^3 one; a fixed cube count would blow HBM)
+        chunk = max(1, int(args.chunk * (args.cube_size / cube_size) ** 3))
         print(f"[ablate] running {name} (mode={mode}, model={model}, "
-              f"cube={cube_size})")
+              f"cube={cube_size}, chunk={chunk})")
         try:
             csvs[name] = _eval_variant(
                 name, args.input, cfg, args.out, args.res, mode, model,
-                args.chunk, args.dtype, search_rho=args.search_rho)
+                chunk, args.dtype, search_rho=args.search_rho)
         except Exception as e:  # noqa: BLE001 — one variant must not kill
             import traceback
             print(f"[ablate] {name} FAILED: {e!r}\n"

@@ -22,9 +22,14 @@ def _curves(set1, set2, x_key):
 
 def _poly_avg(x1, y1, x2, y2):
     """Fit cubic y(x) per curve, integrate both over the common x interval,
-    return the mean difference (curve2 - curve1)."""
-    p1 = np.polyfit(x1, y1, 3)
-    p2 = np.polyfit(x2, y2, 3)
+    return the mean difference (curve2 - curve1).
+
+    Curves with fewer than 4 points fit the highest well-posed degree
+    instead (the standard BD calculation assumes 4 rate points; short
+    curves degrade gracefully rather than rank-deficiently)."""
+    deg = max(1, min(3, len(x1) - 1, len(x2) - 1))
+    p1 = np.polyfit(x1, y1, deg)
+    p2 = np.polyfit(x2, y2, deg)
     lo = max(x1.min(), x2.min())
     hi = min(x1.max(), x2.max())
     if hi <= lo:

@@ -41,13 +41,14 @@ def bd_table(codec_curves, anchor_curves, d_metric="d1"):
                 continue
             finite = [(r, p) for r, p in acurves[seq] if np.isfinite(p)]
             cfin = [(r, p) for r, p in curve if np.isfinite(p)]
-            if len(finite) < 4 or len(cfin) < 4:
+            if len(finite) < 2 or len(cfin) < 2:
                 continue
             row[f"bdrate vs {aname}"] = bdrate(finite, cfin)
             row[f"bdsnr vs {aname}"] = bdsnr(finite, cfin)
         rows[seq] = row
     df = pd.DataFrame(rows).T
-    df.loc["average"] = df.mean()
+    if len(df) and len(df.columns):
+        df.loc["average"] = df.mean()
     return df
 
 

@@ -60,6 +60,7 @@ class TrainConfig:
     reset_optimizer: bool = False
     log_every: int = 100
     save_every: int = 5000
+    max_failures: int = 5              # transient-failure recovery budget
     eval_samples: int = 256
     dtype: Any = jnp.float32
     seed: int = 0
@@ -94,6 +95,12 @@ class Trainer:
         # host-side mirror of state["step"]: reading the device scalar
         # every step would force a blocking sync (device round trip)
         self._host_step = int(self.state["step"])
+        # host snapshot of the initial state: the recovery template (and
+        # the restart point if a transient failure hits before the first
+        # checkpoint lands). Donated device buffers can't serve as a
+        # restore target after a failed step.
+        self._init_snapshot = jax.tree.map(np.asarray,
+                                           jax.device_get(self.state))
         self._step_fn = self._build_step()
 
     # ------------------------------------------------------------- state --
@@ -284,6 +291,27 @@ class Trainer:
                        in_shardings=(state_sh, batch_sh, None),
                        out_shardings=(state_sh, None))
 
+    def _recover(self):
+        """Failure recovery: rebuild device state after a transient runtime
+        failure (relay/RPC hiccup mid-run — observed as spurious
+        FAILED_PRECONDITION/UNAVAILABLE XlaRuntimeErrors on this tunnel).
+
+        The step function donates its input state, so after a failed
+        dispatch the live buffers are unusable; recovery restores the
+        newest checkpoint (falling back to the initial-state snapshot if
+        none has landed yet), re-applies the training shardings, and
+        resets the host step mirror. At most ``save_every`` steps of
+        progress are lost. The eval/bench harnesses already self-retry;
+        this closes the same gap for multi-hour training runs.
+        """
+        restored = ckpt_lib.restore(self.cfg.ckpt_dir,
+                                    like=self._init_snapshot)
+        if restored is None:
+            restored = self._init_snapshot
+        self.state = jax.tree.map(jnp.asarray, restored)
+        self._step_fn = self._build_step()
+        self._host_step = int(self.state["step"])
+
     def train_step(self, batch):
         rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 1),
                                  self._host_step)
@@ -313,32 +341,64 @@ class Trainer:
             eval_batches_fn=None):
         """Run the training loop over an iterator of [B,cs,cs,cs,1] batches.
 
-        Returns the final step count.
+        Transient runtime failures are survived by restoring the newest
+        checkpoint and continuing (see ``_recover``); anything else — or
+        more than ``cfg.max_failures`` recoveries — re-raises. Returns the
+        final step count.
         """
         cfg = self.cfg
         n = num_iterations or cfg.num_iterations
         accum = []
         t0 = time.time()
+        failures = 0
         from pcgcv1_tpu.training.data import prefetch
         for batch in prefetch(batches):
-            step = self._host_step
-            if step >= n:
+            if self._host_step >= n:
                 break
-            metrics = self.train_step(batch)
-            accum.append(metrics)
-            step += 1
-            if step % cfg.log_every == 0:
-                avg = {k: float(np.mean([float(m[k]) for m in accum]))
-                       for k in accum[0]}
-                avg.update(step=step,
-                           sps=len(accum) / (time.time() - t0))
-                log_fn(avg)
+            try:
+                metrics = self.train_step(batch)
+                accum.append(metrics)
+                step = self._host_step
+                if step % cfg.log_every == 0:
+                    avg = {k: float(np.mean([float(m[k]) for m in accum]))
+                           for k in accum[0]}
+                    avg.update(step=step,
+                               sps=len(accum) / (time.time() - t0))
+                    log_fn(avg)
+                    accum, t0 = [], time.time()
+                if step % cfg.save_every == 0:
+                    if eval_batches_fn is not None:
+                        stats = [self.eval_step(b)
+                                 for b in eval_batches_fn()]
+                        log_fn({("eval_" + k): float(np.mean(
+                            [float(s[k]) for s in stats]))
+                            for k in stats[0]} | {"step": step})
+                    self.save()
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if not _is_transient(e) or failures >= cfg.max_failures:
+                    raise
+                failures += 1
+                log_fn({"step": self._host_step, "failures": failures,
+                        "recovering_from": repr(e)[:300]})
+                time.sleep(min(30.0, 2.0 ** failures))
+                self._recover()
                 accum, t0 = [], time.time()
-            if step % cfg.save_every == 0:
-                if eval_batches_fn is not None:
-                    stats = [self.eval_step(b) for b in eval_batches_fn()]
-                    log_fn({("eval_" + k): float(np.mean(
-                        [float(s[k]) for s in stats]))
-                        for k in stats[0]} | {"step": step})
-                self.save()
         return int(self.state["step"])
+
+
+# Runtime-failure signatures that warrant checkpoint-restore-and-continue.
+# Deliberately narrow: OOMs (RESOURCE_EXHAUSTED), shape/type errors, and
+# everything Python-level re-raise — only infrastructure flakiness between
+# the host and the accelerator is retried.
+_TRANSIENT_MARKERS = (
+    "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED",
+    "INTERNAL", "Socket closed", "Connection reset", "connection refused",
+    "Broken pipe",
+)
+
+
+def _is_transient(e):
+    msg = f"{type(e).__name__}: {e}"
+    if "RESOURCE_EXHAUSTED" in msg:
+        return False
+    return any(m in msg for m in _TRANSIENT_MARKERS)

@@ -1,9 +1,13 @@
 #!/usr/bin/env bash
-# End-of-round R-D artifact: sweep the release checkpoints over the
-# bench-scale synthetic vox10 cloud and store CSV + plot in artifacts/.
+# End-of-round R-D artifact: sweep the release (round-2 ladder) checkpoints
+# over the bench-scale synthetic vox10 cloud; store CSV + plot in artifacts/.
 # (No test corpus ships with either repo; the synthetic surface cloud is
 # the reproducible stand-in — the harness itself is the reference's
 # eval.py equivalent and runs unchanged on real 8iVFB files.)
+#
+# With --search_rho the harness sweeps rho per rate point and caches the
+# winners into the INI in place (reference eval_ablation_studies.py:152-205),
+# then evaluates at rho_d1/rho_d2 — the release CSV shows rho!=1 rows.
 set -eu
 cd "$(dirname "$0")/.."
 
@@ -19,9 +23,17 @@ PY
 
 python - <<'PY'
 from pcgcv1_tpu.evalharness import default_config
-import configparser, glob, os
-cks = [d for d in ("checkpoints/hyper_a12b3", "checkpoints/hyper_a6b3",
-                   "checkpoints/hyper_a2b3") if os.path.isdir(d)]
+import os
+# rate ladder low->high bpp: alpha 0.75, 2, 6, 16 (reference alphas,
+# eval_ablation_studies.py:71-77); fall back to round-1 ckpts if a rung
+# hasn't finished training
+ladder = ["checkpoints/r2_a0.75b3", "checkpoints/r2_a2b3",
+          "checkpoints/r2_a6b3", "checkpoints/r2_a16b3"]
+cks = [d for d in ladder if os.path.isdir(d)
+       and any(x.startswith("ckpt") for x in os.listdir(d))]
+if not cks:
+    cks = [d for d in ("checkpoints/hyper_a2b3", "checkpoints/hyper_a6b3",
+                       "checkpoints/hyper_a12b3") if os.path.isdir(d)]
 default_config("artifacts/rd_release.ini", cks)
 print("rate points:", cks)
 PY
@@ -30,6 +42,7 @@ python -m pcgcv1_tpu.cli eval \
   --input artifacts/synth_vox10.ply \
   --cfgdir artifacts/rd_release.ini \
   --rootdir artifacts/rd_release \
-  --res 1024 --mode hyper --chunk 64 --dtype bfloat16
+  --res 1024 --mode hyper --chunk 64 --dtype bfloat16 \
+  ${EVAL_FLAGS:---search_rho}
 echo "[eval done]"
 ls -la artifacts/rd_release/

@@ -22,6 +22,15 @@ from pcgcv1_tpu.utils.jaxcache import enable_cache
 enable_cache()
 
 
+def pytest_collection_modifyitems(items):
+    """Every test not marked slow is the fast tier: `pytest -m fast`
+    runs a <2-min core pass over every module; `pytest tests/` runs all.
+    """
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

@@ -23,6 +23,7 @@ def cloud_file(tmp_path_factory):
 
 
 @pytest.mark.parametrize("mode", ["factorized", "hyper"])
+@pytest.mark.slow
 def test_compress_decompress_roundtrip(cloud_file, tmp_path, mode):
     f, pts = cloud_file
     rootdir = str(tmp_path / "comp")
@@ -41,6 +42,7 @@ def test_compress_decompress_roundtrip(cloud_file, tmp_path, mode):
     assert rec.min() >= 0 and rec.max() < 64
 
 
+@pytest.mark.slow
 def test_train_smoke(tmp_path):
     ckpt = str(tmp_path / "ck")
     cli.main(["train", "--data", "synthetic", "--cube_size", "16",
@@ -50,6 +52,7 @@ def test_train_smoke(tmp_path):
         any(d.startswith("ckpt") for d in os.listdir(ckpt))
 
 
+@pytest.mark.slow
 def test_eval_harness(cloud_file, tmp_path):
     f, _ = cloud_file
     # train 2 steps to create a checkpoint the harness can restore

@@ -36,6 +36,7 @@ def _codec(mode, **kw):
         return PointCloudCodec(mode=mode, cube_size=CS, **kw)
 
 
+@pytest.mark.slow
 class TestFactorizedCodec:
     def test_roundtrip_bitexact_latents(self, pre):
         codec = _codec("factorized")
@@ -45,6 +46,15 @@ class TestFactorizedCodec:
         # independent second decode must be identical (determinism)
         logits2 = codec.decompress_factorized(strings, mn, mx, shape)
         assert np.array_equal(logits, logits2)
+
+    def test_pointnums_overflow_is_loud(self, tmp_path):
+        # uint16 container field: a >65535-point cube must fail at encode
+        # time, not silently wrap and corrupt decode-side top-k
+        fs = bitstream.FactorizedStreams(
+            b"x", -1, 1, (1, 8, 8, 8, 8),
+            np.array([70000], np.int64), np.zeros((1, 3), np.int64))
+        with pytest.raises(OverflowError, match="pointnums"):
+            bitstream.write_factorized("ovf", fs, rootdir=str(tmp_path))
 
     def test_container_roundtrip(self, pre, tmp_path):
         codec = _codec("factorized")
@@ -63,6 +73,7 @@ class TestFactorizedCodec:
             np.sort(pre.cube_positions, axis=0))
 
 
+@pytest.mark.slow
 class TestHyperCodec:
     def test_roundtrip_exact_latents(self, pre):
         codec = _codec("hyper")
@@ -160,6 +171,7 @@ def test_other_cube_sizes(cs, rng):
     assert out.min() >= 0 and out.max() < 2 * cs
 
 
+@pytest.mark.slow
 def test_mask_path_equals_logits_path(pre):
     """decompress_hyper_masks must equal classifying the logits path's
     output on host (same thresholds, same ties)."""
@@ -173,6 +185,7 @@ def test_mask_path_equals_logits_path(pre):
     assert np.array_equal(masks_fast.astype(np.float32), masks_ref)
 
 
+@pytest.mark.slow
 class TestDeviceCoder:
     """On-device rANS y-coding (coder='device'): container round trip,
     cross-coder decode dispatch, and overflow fallback."""
@@ -244,6 +257,7 @@ class TestDeviceCoder:
         np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.slow
 class TestDeviceCoderFactorized:
     """Chained table-CDF device coding of factorized-mode latents."""
 
@@ -304,6 +318,7 @@ class TestDeviceCoderFactorized:
         assert s_sp == s_ref
 
 
+@pytest.mark.slow
 class TestSparseFeed:
     """Sparse upload (flat voxel ids + device voxelize) must produce
     byte-identical streams to the dense occupancy upload."""

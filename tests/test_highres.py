@@ -26,6 +26,7 @@ def sparse_highres_cloud():
                      axis=0)
 
 
+@pytest.mark.slow
 def test_multiscale_roundtrip(sparse_highres_cloud, tmp_path):
     """scale=0.5 on a res-2048 cloud: positions span beyond uint8*64,
     decoded points land on the x2 grid, pipeline is lossless modulo the

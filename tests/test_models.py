@@ -72,6 +72,7 @@ class TestSimple:
             get_model("simple").make(hyper=True)
 
 
+@pytest.mark.slow
 def test_param_count_order_of_magnitude(key):
     # the reference transforms are sub-1M-param CNNs (SURVEY.md §2)
     fam = get_model("voxception")

@@ -5,6 +5,7 @@ parallel over cubes)."""
 import warnings
 
 import numpy as np
+import pytest
 
 from pcgcv1_tpu.codec import pipeline
 from pcgcv1_tpu.codec.transforms import PointCloudCodec
@@ -16,6 +17,7 @@ def test_host_slices():
     assert multihost.host_slices(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]
 
 
+@pytest.mark.slow
 def test_sharded_compression_matches_single_host(tmp_path):
     rng = np.random.default_rng(3)
     pts = np.unique(np.clip(np.round(rng.normal(32, 13, (40000, 3))),
@@ -69,6 +71,7 @@ def test_sharded_compression_matches_single_host(tmp_path):
     assert np.array_equal(masks_mh, masks_full)
 
 
+@pytest.mark.slow
 def test_multihost_cli_roundtrip(tmp_path):
     from pcgcv1_tpu import cli
     from pcgcv1_tpu.ops import load_ply, write_ply

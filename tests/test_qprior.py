@@ -112,6 +112,7 @@ def _codec(**kw):
                                lanes=8, **kw)
 
 
+@pytest.mark.slow
 class TestIntPriorCodec:
     def test_roundtrip_and_container(self, pre, tmp_path):
         codec = _codec(prior="int")

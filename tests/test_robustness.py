@@ -62,6 +62,7 @@ def test_octree_garbage_decode_bounded():
     assert len(out) <= 16 ** 3
 
 
+@pytest.mark.slow
 def test_fresh_codec_instance_bit_compatibility(pre):
     """Encode with one codec instance, decode with a freshly constructed
     one (new jit compilations): must reconstruct identical latents —
@@ -74,6 +75,7 @@ def test_fresh_codec_instance_bit_compatibility(pre):
     assert np.array_equal(logits_a, logits_b)
 
 
+@pytest.mark.slow
 def test_repeated_encode_identical_streams(pre):
     codec = _codec()
     hs1 = codec.compress_hyper(pre.cubes)
@@ -82,6 +84,7 @@ def test_repeated_encode_identical_streams(pre):
     assert hs1.z_strings == hs2.z_strings
 
 
+@pytest.mark.slow
 def test_rho_search(tmp_path, pre):
     """rho search runs end-to-end and returns a sane value."""
     import configparser

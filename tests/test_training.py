@@ -128,6 +128,43 @@ class TestTrainer:
         p1 = jax.tree.leaves(tr2.state["params"])[0]
         np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
 
+    def test_transient_failure_recovery(self, tmp_path):
+        """A transient runtime failure mid-fit must restore the newest
+        checkpoint and continue to the requested step count."""
+        cfg = _tiny_cfg(tmp_path, max_failures=3)
+        cfg.save_every = 4
+        tr = Trainer(cfg)
+        ds = data.SyntheticCubeDataset(cube_size=16, seed=3)
+        real_step = tr.train_step
+        calls = {"n": 0}
+
+        def flaky(batch):
+            calls["n"] += 1
+            if calls["n"] == 6:
+                raise RuntimeError(
+                    "FAILED_PRECONDITION: relay stream reset (synthetic)")
+            return real_step(batch)
+
+        tr.train_step = flaky
+        logs = []
+        final = tr.fit(ds.batches(cfg.batch_size), num_iterations=10,
+                       log_fn=logs.append)
+        assert final == 10
+        # the failure at call 6 (host step 5) rolled back to the step-4
+        # checkpoint, so more than 10 successful steps ran overall
+        assert calls["n"] > 10
+        assert any("recovering_from" in l for l in logs)
+
+    def test_persistent_failure_reraises(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path, max_failures=3)
+        tr = Trainer(cfg)
+        ds = data.SyntheticCubeDataset(cube_size=16, seed=3)
+        tr.train_step = lambda b: (_ for _ in ()).throw(
+            ValueError("shape mismatch — not transient"))
+        with pytest.raises(ValueError):
+            tr.fit(ds.batches(cfg.batch_size), num_iterations=4,
+                   log_fn=lambda *_: None)
+
     def test_warm_start_reset_optimizer(self, tmp_path):
         cfg = _tiny_cfg(tmp_path)
         tr = Trainer(cfg)
@@ -146,6 +183,7 @@ class TestTrainer:
         np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
 
 
+@pytest.mark.slow
 class TestShardedTrainer:
     def test_dp_tp_mesh_step(self, tmp_path):
         """Full hyper train step over a 4x2 (data x model) mesh on the
@@ -173,6 +211,7 @@ class TestShardedTrainer:
                                    float(m_mesh["loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_partial_warm_start_across_modes(tmp_path):
     """Warm-starting a factorized run from a hyper checkpoint copies the
     shape-matching modules (analysis/synthesis) and inits the rest."""

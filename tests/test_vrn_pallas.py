@@ -33,6 +33,7 @@ def vrn_block_apply(x, tables):
         a, tables, interpret=True))(jnp.asarray(x))
 
 
+@pytest.mark.slow
 def test_full_transforms_match_flax():
     """apply_analysis/apply_synthesis (the codec's vrn='pallas' path) must
     match the flax AnalysisTransform/SynthesisTransform at f32."""
@@ -62,6 +63,7 @@ def test_full_transforms_match_flax():
     np.testing.assert_allclose(x_got, x_ref, rtol=2e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_codec_pallas_flag_streams_match():
     """PointCloudCodec(vrn='pallas') produces the same factorized streams
     as the XLA path at f32 (the rounded latents must agree exactly)."""
