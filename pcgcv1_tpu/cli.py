@@ -189,11 +189,22 @@ def cmd_decompress(args):
 
 
 def cmd_train(args):
+    import jax
+
+    if args.distributed:
+        # multi-host training: "coordinator_host:port,num_processes,pid".
+        # Must run before any other JAX use in this process; afterwards
+        # jax.devices() is the GLOBAL device list and the mesh (and the
+        # gradient psums) spans every host.
+        coord, nproc, pid = args.distributed.rsplit(",", 2)
+        jax.distributed.initialize(coordinator_address=coord,
+                                   num_processes=int(nproc),
+                                   process_id=int(pid))
+
     import jax.numpy as jnp
     from pcgcv1_tpu.training import data as data_lib
     from pcgcv1_tpu.training.train import TrainConfig, Trainer
     from pcgcv1_tpu.parallel import make_mesh
-    import jax
 
     ckpt_dir = args.ckpt_dir or os.path.join(
         "checkpoints",
@@ -211,16 +222,25 @@ def cmd_train(args):
         reset_optimizer=bool(args.reset_optimizer),
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32)
     mesh = None
-    if args.data_parallel > 1 or args.model_parallel > 1:
+    if (args.data_parallel > 1 or args.model_parallel > 1
+            or jax.process_count() > 1):
         mesh = make_mesh(args.data_parallel or None, args.model_parallel)
     trainer = Trainer(cfg, mesh=mesh)
-    ds = data_lib.make_dataset(args.data, cube_size=args.cube_size)
+    # each process feeds its local shard of the global batch, sampled with
+    # a decorrelated per-host seed (single-process: the full batch)
+    local_bs = cfg.batch_size // jax.process_count()
+    kw = ({"seed": 3 + 17 * jax.process_index()}
+          if jax.process_count() > 1 else {})
+    ds = data_lib.make_dataset(args.data, cube_size=args.cube_size, **kw)
     from pcgcv1_tpu.utils.logging import MetricLogger
-    log_fn = MetricLogger(ckpt_dir, name="train")
+    pid = jax.process_index()
+    log_fn = MetricLogger(ckpt_dir,
+                          name="train" if pid == 0 else f"train_p{pid}")
 
-    trainer.fit(ds.batches(cfg.batch_size), log_fn=log_fn,
-                eval_batches_fn=lambda: ds.eval_batches(
-                    cfg.batch_size, cfg.eval_samples))
+    trainer.fit(ds.batches(local_bs), log_fn=log_fn,
+                eval_batches_fn=(None if jax.process_count() > 1 else
+                                 lambda: ds.eval_batches(
+                                     cfg.batch_size, cfg.eval_samples)))
     trainer.save()
 
 
@@ -371,6 +391,11 @@ def main(argv=None):
                     choices=["float32", "bfloat16"])
     pt.add_argument("--data_parallel", type=int, default=1)
     pt.add_argument("--model_parallel", type=int, default=1)
+    pt.add_argument("--distributed", default="",
+                    help="multi-host training: 'coordinator_host:port,"
+                         "num_processes,process_id' -> jax.distributed."
+                         "initialize; the mesh and gradient collectives "
+                         "span every host (batch_size is GLOBAL)")
     pt.set_defaults(fn=cmd_train)
 
     pe = sub.add_parser("eval", help="rate-distortion sweep (INI config)")

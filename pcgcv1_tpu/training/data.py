@@ -205,9 +205,14 @@ class SyntheticCubeDataset:
 
 
 def make_dataset(source, cube_size=64, **kw):
-    """source: 'synthetic' | glob of .h5 files | glob of .npz shards."""
+    """source: 'synthetic' | glob of .h5 files | glob of .npz shards.
+
+    ``seed`` (accepted by every dataset) decorrelates per-host sampling
+    in multi-host training (each process feeds its own batch shard).
+    """
     if source == "synthetic":
-        return SyntheticCubeDataset(cube_size=cube_size)
+        return SyntheticCubeDataset(cube_size=cube_size,
+                                    seed=kw.get("seed", 0))
     if source.endswith(".npz"):
         return PackedCubeDataset(source, cube_size=cube_size, **kw)
     return H5CubeDataset(source, cube_size=cube_size, **kw)

@@ -110,7 +110,9 @@ class Trainer:
         # of relay round trips (measured 383 s); on CPU the same inits take
         # ~2 s and the state moves to the device with the first jitted step.
         try:
-            cpus = jax.devices("cpu")
+            # local_devices: under jax.distributed the global cpu list
+            # includes other hosts' (non-addressable) devices
+            cpus = jax.local_devices(backend="cpu")
         except RuntimeError:
             cpus = []
         if cpus:
@@ -199,6 +201,11 @@ class Trainer:
                     self.state["params"])
 
     def save(self):
+        # multi-host: the state is fully replicated across processes (DP
+        # only spans hosts; TP shards stay intra-host), so process 0 writes
+        # the checkpoint alone — no cross-host coordination needed
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return
         ckpt_lib.save(self.cfg.ckpt_dir, self.state,
                       step=int(self.state["step"]))
 
@@ -315,10 +322,18 @@ class Trainer:
     def train_step(self, batch):
         rng = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 1),
                                  self._host_step)
-        batch = jnp.asarray(batch)  # uint8 transport; cast happens in-jit
-        if self.mesh is not None:
-            batch = jax.device_put(batch,
+        if self.mesh is not None and jax.process_count() > 1:
+            # multi-host (jax.distributed): each process feeds its LOCAL
+            # batch shard; the global [B,...] array is assembled across
+            # hosts, and XLA's collectives (over DCN/ICI) average the
+            # gradients — no reference equivalent (single-GPU eager).
+            batch = jax.make_array_from_process_local_data(
+                mesh_lib.batch_sharding(self.mesh), np.asarray(batch))
+        elif self.mesh is not None:
+            batch = jax.device_put(jnp.asarray(batch),
                                    mesh_lib.batch_sharding(self.mesh))
+        else:
+            batch = jnp.asarray(batch)  # uint8; cast happens in-jit
         self.state, metrics = self._step_fn(self.state, batch, rng)
         self._host_step += 1
         return metrics

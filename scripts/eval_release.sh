@@ -22,11 +22,12 @@ print("cloud:", len(pts), "points")
 PY
 
 python - <<'PY'
-from pcgcv1_tpu.evalharness import default_config
+from pcgcv1_tpu.ablation import variant_config
 import os
 # rate ladder low->high bpp: alpha 0.75, 2, 6, 16 (reference alphas,
-# eval_ablation_studies.py:71-77); fall back to round-1 ckpts if a rung
-# hasn't finished training
+# eval_ablation_studies.py:71-77) plus the reference's extra low-rate
+# point (lowest-rate checkpoint at scale 5/8); fall back to round-1
+# ckpts if a rung hasn't finished training
 ladder = ["checkpoints/r2_a0.75b3", "checkpoints/r2_a2b3",
           "checkpoints/r2_a6b3", "checkpoints/r2_a16b3"]
 cks = [d for d in ladder if os.path.isdir(d)
@@ -34,8 +35,8 @@ cks = [d for d in ladder if os.path.isdir(d)
 if not cks:
     cks = [d for d in ("checkpoints/hyper_a2b3", "checkpoints/hyper_a6b3",
                        "checkpoints/hyper_a12b3") if os.path.isdir(d)]
-default_config("artifacts/rd_release.ini", cks)
-print("rate points:", cks)
+variant_config("artifacts/rd_release.ini", cks, extra_scales=(0.625,))
+print("rate points:", cks, "+ scale 0.625 low point")
 PY
 
 python -m pcgcv1_tpu.cli eval \

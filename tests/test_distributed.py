@@ -1,0 +1,59 @@
+"""Multi-process training under jax.distributed (2 CPU processes).
+
+SURVEY.md §5 multi-host checklist: the inference path shards cubes per
+host (tests/test_multihost.py); this exercises the TRAINING path — two
+real OS processes joined via jax.distributed.initialize, a ('data',
+'model') mesh spanning both, per-host batch shards assembled with
+jax.make_array_from_process_local_data, gradients averaged by
+XLA-inserted cross-process collectives. No reference equivalent (the
+reference trains on one GPU, eagerly).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_distributed_training(tmp_path):
+    port = _free_port()
+    ckpt = str(tmp_path / "ckpt")
+    procs = []
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # 1 device per process
+    for pid in range(2):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "pcgcv1_tpu.cli", "train",
+             "--data", "synthetic", "--cube_size", "16",
+             "--batch_size", "4", "--num_iteration", "3",
+             "--save_every", "1000", "--ckpt_dir", ckpt,
+             "--distributed", f"127.0.0.1:{port},2,{pid}"],
+            env=env, cwd=os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out.decode(errors="replace"))
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
+    # process 0 wrote the checkpoint alone (replicated state)
+    assert any(d.startswith("ckpt") for d in os.listdir(ckpt))
+    # its training log holds finite losses
+    log = os.path.join(ckpt, "train_log.jsonl")
+    if os.path.exists(log):
+        with open(log) as f:
+            rows = [json.loads(l) for l in f if l.strip()]
+        assert all(row["loss"] < 1e6 for row in rows if "loss" in row)
