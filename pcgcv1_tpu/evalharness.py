@@ -196,11 +196,39 @@ def search_optimal_rho(input_file, codec, section_cfg, resolution,
     return results[metric] if isinstance(metric, str) else results
 
 
+def _eval_rate_section(args, s, section, input_file, pts, normals, dtype):
+    """One INI rate section: build the codec, optionally search+cache rho
+    (reference eval_ablation_studies.py:152-205 — winners written back to
+    the INI in place), and run the full round-trip row."""
+    from pcgcv1_tpu.codec.transforms import PointCloudCodec
+
+    codec = PointCloudCodec(
+        model=args.modelname, mode=args.mode, ckpt_dir=s["ckpt_dir"],
+        dtype=dtype, chunk=args.chunk, cube_size=s.getint("cube_size", 64))
+    if getattr(args, "search_rho", False):
+        found = search_optimal_rho(
+            input_file, codec, s, args.res,
+            os.path.join(args.rootdir, "streams"), section,
+            metric=("d1", "d2"))
+        for metric, (rho, psnr) in found.items():
+            s[f"rho_{metric}"] = str(rho)
+            print(f"[{section}] optimal rho_{metric}={rho} "
+                  f"({psnr:.4f} dB)")
+        with open(args.cfgdir, "w") as f:
+            s.parser.write(f)
+    return eval_one_rate(
+        input_file, codec, s.getfloat("scale", 1.0),
+        s.getint("cube_size", 64), s.getint("min_num", 64),
+        s.getfloat("rho_d1", 1.0), s.getfloat("rho_d2", 1.0),
+        args.res, os.path.join(args.rootdir, "streams"),
+        section, points_a=pts, normals_a=normals,
+        fixed_thres=s.getfloat("fixed_thres", None))
+
+
 def run_eval(args):
     """CLI entry: sweep all rate sections of the INI over the input(s)."""
     import jax.numpy as jnp
     import pandas as pd
-    from pcgcv1_tpu.codec.transforms import PointCloudCodec
 
     cfg = configparser.ConfigParser()
     if not cfg.read(args.cfgdir):
@@ -220,43 +248,32 @@ def run_eval(args):
         for section in cfg.sections():
             s = cfg[section]
             # fault-tolerant sweep: one bad rate point (missing ckpt,
-            # malformed config) must not kill a multi-hour run
-            try:
-                codec = PointCloudCodec(
-                    model=args.modelname, mode=args.mode,
-                    ckpt_dir=s["ckpt_dir"], dtype=dtype, chunk=args.chunk,
-                    cube_size=s.getint("cube_size", 64))
-                if getattr(args, "search_rho", False):
-                    # reference behavior: search once per rate point and
-                    # cache the winners into the INI in place
-                    # (eval_ablation_studies.py:152-205)
-                    found = search_optimal_rho(
-                        input_file, codec, s, args.res,
-                        os.path.join(args.rootdir, "streams"),
-                        section, metric=("d1", "d2"))
-                    for metric, (rho, psnr) in found.items():
-                        s[f"rho_{metric}"] = str(rho)
-                        print(f"[{section}] optimal rho_{metric}={rho} "
-                              f"({psnr:.4f} dB)")
-                    with open(args.cfgdir, "w") as f:
-                        cfg.write(f)
-                row = eval_one_rate(
-                    input_file, codec, s.getfloat("scale", 1.0),
-                    s.getint("cube_size", 64), s.getint("min_num", 64),
-                    s.getfloat("rho_d1", 1.0), s.getfloat("rho_d2", 1.0),
-                    args.res, os.path.join(args.rootdir, "streams"),
-                    section, points_a=pts, normals_a=normals,
-                    fixed_thres=s.getfloat("fixed_thres", None))
-            except Exception as e:  # noqa: BLE001
-                import traceback
-                tb = traceback.format_exc()
-                print(f"[{input_file} {section}] FAILED: {e!r}\n{tb}")
-                tb_path = os.path.join(
-                    args.rootdir, f"FAILED_{section}.traceback.txt")
-                with open(tb_path, "w") as f:
-                    f.write(f"{input_file} {section}\n{tb}")
-                rows.append({"rate": section, "error": repr(e)})
-                continue
+            # malformed config) must not kill a multi-hour run; transient
+            # relay failures retry with a FRESH codec (stale device
+            # handles don't survive a relay reset)
+            attempts = 0
+            while True:
+                try:
+                    row = _eval_rate_section(
+                        args, s, section, input_file, pts, normals, dtype)
+                    break
+                except Exception as e:  # noqa: BLE001
+                    from pcgcv1_tpu.utils.transient import is_transient
+                    attempts += 1
+                    if is_transient(e) and attempts <= 2:
+                        print(f"[{section}] transient failure "
+                              f"(attempt {attempts}): {e!r}; retrying")
+                        time.sleep(5 * attempts)
+                        continue
+                    import traceback
+                    tb = traceback.format_exc()
+                    print(f"[{input_file} {section}] FAILED: {e!r}\n{tb}")
+                    tb_path = os.path.join(
+                        args.rootdir, f"FAILED_{section}.traceback.txt")
+                    with open(tb_path, "w") as f:
+                        f.write(f"{input_file} {section}\n{tb}")
+                    row = {"rate": section, "error": repr(e)}
+                    break
             rows.append(row)
             print({k: round(v, 4) if isinstance(v, float) else v
                    for k, v in row.items()

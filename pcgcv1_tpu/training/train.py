@@ -401,19 +401,6 @@ class Trainer:
         return int(self.state["step"])
 
 
-# Runtime-failure signatures that warrant checkpoint-restore-and-continue.
-# Deliberately narrow: OOMs (RESOURCE_EXHAUSTED), shape/type errors, and
-# everything Python-level re-raise — only infrastructure flakiness between
-# the host and the accelerator is retried.
-_TRANSIENT_MARKERS = (
-    "FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED", "ABORTED",
-    "INTERNAL", "Socket closed", "Connection reset", "connection refused",
-    "Broken pipe",
-)
-
-
-def _is_transient(e):
-    msg = f"{type(e).__name__}: {e}"
-    if "RESOURCE_EXHAUSTED" in msg:
-        return False
-    return any(m in msg for m in _TRANSIENT_MARKERS)
+# Runtime-failure signatures that warrant checkpoint-restore-and-continue
+# live in utils/transient.py (shared with the eval sweep and bench).
+from pcgcv1_tpu.utils.transient import is_transient as _is_transient  # noqa: E402
