@@ -4,7 +4,6 @@ import argparse
 import os
 
 import numpy as np
-import pytest
 
 from pcgcv1_tpu import ablation
 
