@@ -165,30 +165,41 @@ class PointCloudCodec:
 
     # ------------------------------------------------------------- params --
     def _init_or_restore(self, ckpt_dir, seed):
-        key = jax.random.PRNGKey(seed)
-        cs = 16  # fully-convolutional: init shapes don't depend on cube size
-        f = self.family.down_factor
-        x = jnp.zeros((1, cs, cs, cs, 1), jnp.float32)
-        y = jnp.zeros((1, cs // f, cs // f, cs // f,
-                       self.family.latent_channels), jnp.float32)
-        keys = jax.random.split(key, 8)
-        params = {
-            "analysis": self.modules["analysis"].init(keys[0], x)["params"],
-            "synthesis": self.modules["synthesis"].init(keys[1], y)["params"],
-        }
-        if self.hyper:
-            z = jnp.zeros((1, cs // f // 2, cs // f // 2, cs // f // 2,
-                           self.family.hyper_channels), jnp.float32)
-            params["hyper_encoder"] = self.modules["hyper_encoder"].init(
-                keys[2], y)["params"]
-            params["hyper_decoder"] = self.modules["hyper_decoder"].init(
-                keys[3], z)["params"]
-            est_in = z
-        else:
-            est_in = y
-        params["estimator"] = self.estimator.init(
-            {"params": keys[4]}, est_in, training=False)["params"]
+        def make():
+            # pure param constructor — run under eval_shape (structure
+            # only, zero compute) when a checkpoint supplies the values,
+            # or as ONE jitted program for random init: eager flax .init
+            # dispatches hundreds of tiny ops and each costs a separate
+            # XLA compile on a cold-cache host
+            key = jax.random.PRNGKey(seed)
+            cs = 16  # fully-convolutional: init shapes don't depend on cube
+            f = self.family.down_factor
+            x = jnp.zeros((1, cs, cs, cs, 1), jnp.float32)
+            y = jnp.zeros((1, cs // f, cs // f, cs // f,
+                           self.family.latent_channels), jnp.float32)
+            keys = jax.random.split(key, 8)
+            params = {
+                "analysis":
+                    self.modules["analysis"].init(keys[0], x)["params"],
+                "synthesis":
+                    self.modules["synthesis"].init(keys[1], y)["params"],
+            }
+            if self.hyper:
+                z = jnp.zeros((1, cs // f // 2, cs // f // 2, cs // f // 2,
+                               self.family.hyper_channels), jnp.float32)
+                params["hyper_encoder"] = self.modules["hyper_encoder"].init(
+                    keys[2], y)["params"]
+                params["hyper_decoder"] = self.modules["hyper_decoder"].init(
+                    keys[3], z)["params"]
+                est_in = z
+            else:
+                est_in = y
+            params["estimator"] = self.estimator.init(
+                {"params": keys[4]}, est_in, training=False)["params"]
+            return params
+
         if ckpt_dir:
+            params = jax.eval_shape(make)
             # accept both trainer checkpoints ({params, opt_state, step})
             # and bare param trees — the reference restores subsets of one
             # object graph the same way (transform.py:36-38,107-112)
@@ -202,12 +213,18 @@ class PointCloudCodec:
                 raise KeyError(
                     f"checkpoint in {ckpt_dir!r} lacks modules {missing} "
                     f"required for mode={self.mode!r}")
-            params = {k: tree[k] for k in params}
-        else:
-            warnings.warn(
-                "PointCloudCodec running with random-initialized weights "
-                "(no ckpt_dir given)")
-        return params
+            return {k: tree[k] for k in params}
+        warnings.warn(
+            "PointCloudCodec running with random-initialized weights "
+            "(no ckpt_dir given)")
+        try:
+            cpus = jax.local_devices(backend="cpu")
+        except RuntimeError:
+            cpus = []
+        if cpus:
+            with jax.default_device(cpus[0]):
+                return jax.jit(make)()
+        return jax.jit(make)()
 
     @staticmethod
     def _pack_classify(logits, nums, rho):
