@@ -217,6 +217,7 @@ def cmd_train(args):
         batch_size=args.batch_size, cube_size=args.cube_size,
         num_iterations=int(args.num_iteration),
         scale_lower_bound=args.lower_bound, ckpt_dir=ckpt_dir,
+        quant=args.quant,
         save_every=args.save_every,
         init_ckpt_dir=args.init_ckpt_dir,
         reset_optimizer=bool(args.reset_optimizer),
@@ -386,6 +387,11 @@ def main(argv=None):
     pt.add_argument("--init_ckpt_dir", default="")
     pt.add_argument("--reset_optimizer", type=int, default=0)
     pt.add_argument("--lower_bound", type=float, default=1e-9)
+    pt.add_argument("--quant", default="noise", choices=["noise", "ste"],
+                    help="training quantization: 'noise' = the reference's "
+                         "uniform-noise relaxation; 'ste' = straight-"
+                         "through hard rounding on the decode path "
+                         "(rounding-aware fine-tune for low-rate rungs)")
     pt.add_argument("--save_every", type=int, default=5000)
     pt.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])

@@ -62,6 +62,7 @@ class TrainConfig:
     save_every: int = 5000
     max_failures: int = 5              # transient-failure recovery budget
     eval_samples: int = 256
+    quant: str = "noise"               # "noise" | "ste" (see _forward)
     dtype: Any = jnp.float32
     seed: int = 0
 
@@ -104,22 +105,6 @@ class Trainer:
         self._step_fn = self._build_step()
 
     # ------------------------------------------------------------- state --
-    def _init_params(self):
-        # Initialize on the host CPU backend: each module init is a tiny
-        # program, but compiling ~6 of them on a remote TPU costs minutes
-        # of relay round trips (measured 383 s); on CPU the same inits take
-        # ~2 s and the state moves to the device with the first jitted step.
-        try:
-            # local_devices: under jax.distributed the global cpu list
-            # includes other hosts' (non-addressable) devices
-            cpus = jax.local_devices(backend="cpu")
-        except RuntimeError:
-            cpus = []
-        if cpus:
-            with jax.default_device(cpus[0]):
-                return self._init_params_impl()
-        return self._init_params_impl()
-
     def _init_params_impl(self):
         cfg = self.cfg
         key = jax.random.PRNGKey(cfg.seed)
@@ -146,13 +131,48 @@ class Trainer:
             {"params": keys[4]}, est_in, training=False)["params"]
         return params
 
-    def _init_state(self):
-        params = self._init_params()
+    def _make_state(self):
+        # pure (traceable) full-state constructor: params + optimizer state
+        params = self._init_params_impl()
         return {
             "params": params,
             "opt_state": self.optimizer.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
+
+    def _materialize_state(self):
+        """Random-init state, built as ONE compiled program.
+
+        Running the six module inits eagerly dispatches hundreds of tiny
+        ops, each of which XLA compiles separately — minutes on a slow
+        host with a cold compile cache. A single jitted program is one
+        compile. Runs on the host CPU backend: compiling even one program
+        on a remote TPU costs relay round trips (measured 383 s round 1).
+        """
+        try:
+            # local_devices: under jax.distributed the global cpu list
+            # includes other hosts' (non-addressable) devices
+            cpus = jax.local_devices(backend="cpu")
+        except RuntimeError:
+            cpus = []
+        if cpus:
+            with jax.default_device(cpus[0]):
+                return jax.jit(self._make_state)()
+        return jax.jit(self._make_state)()
+
+    def _init_state(self):
+        # When a checkpoint will overwrite the state anyway (resume or
+        # warm start), skip init compute entirely: eval_shape gives the
+        # structure and numpy zeros materialize it for free. Zeros are
+        # also exactly optax.adam's fresh optimizer state, which is what
+        # the reset_optimizer warm-start path leaves in place.
+        will_restore = (ckpt_lib.latest_path(self.cfg.ckpt_dir) is not None
+                        or bool(self.cfg.init_ckpt_dir))
+        if will_restore:
+            abstract = jax.eval_shape(self._make_state)
+            return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                                abstract)
+        return self._materialize_state()
 
     def _restore(self):
         cfg = self.cfg
@@ -181,6 +201,9 @@ class Trainer:
                     self.state["opt_state"] = init["opt_state"]
                     self.state["step"] = init["step"]
             else:
+                # the skeleton from _init_state is zeros; modules the
+                # partial copy below does not cover need real random init
+                self.state = self._materialize_state()
                 src = init.get("params", init)
                 copied = []
                 for name, tree in self.state["params"].items():
@@ -211,10 +234,27 @@ class Trainer:
 
     # -------------------------------------------------------------- step --
     def _forward(self, params, x, training, rng):
-        """Returns (x_tilde, metrics dict of scalars)."""
+        """Returns (x_tilde, metrics dict of scalars).
+
+        quant="noise": the reference recipe — additive U(-1/2,1/2) noise
+        stands in for rounding everywhere (conditional_entropy_model.py /
+        entropy_model.py `call(training=True)`).
+        quant="ste": mixed quantization — the *rate* terms still use the
+        noisy relaxation, but every tensor a real decode would see (the
+        hyper-decoder's input z-hat, the synthesis input y-hat) is hard-
+        rounded with a straight-through gradient. At low alpha the noise
+        relaxation collapses under true rounding (y shrinks inside the
+        dead zone and round(y)=0 wipes the latent); STE fine-tuning
+        matches train-time to decode-time exactly.
+        """
         cfg = self.cfg
         mods = self.mods
         rng_z, rng_y = jax.random.split(rng)
+        ste = training and cfg.quant == "ste"
+
+        def _ste_round(v):
+            return v + jax.lax.stop_gradient(jnp.round(v) - v)
+
         num_points = jnp.maximum(
             jnp.sum((jnp.sum(x, axis=-1) > 0).astype(jnp.float32)), 1.0)
         y = mods["analysis"].apply({"params": params["analysis"]}, x)
@@ -225,7 +265,8 @@ class Trainer:
                 {"params": params["estimator"]}, z, training=training,
                 rng=rng_z)
             loc, scale = mods["hyper_decoder"].apply(
-                {"params": params["hyper_decoder"]}, z_tilde)
+                {"params": params["hyper_decoder"]},
+                _ste_round(z) if ste else z_tilde)
             scale = jnp.maximum(scale, cfg.scale_lower_bound)
             y_tilde, lik_y = conditional.apply(y, loc, scale,
                                                training=training, rng=rng_y)
@@ -238,7 +279,8 @@ class Trainer:
             bpp_y = losses.bpp_from_likelihoods(lik_y, num_points)
             bpp_z = jnp.zeros(())
         x_tilde = mods["synthesis"].apply(
-            {"params": params["synthesis"]}, y_tilde)
+            {"params": params["synthesis"]},
+            _ste_round(y) if ste else y_tilde)
         empty_l, full_l = losses.bce_losses(x_tilde, x)
         distortion = cfg.beta * empty_l + full_l
         if self.hyper:

@@ -107,6 +107,25 @@ class TestTrainer:
         assert np.mean(losses[-5:]) < first
         assert np.isfinite(losses).all()
 
+    def test_ste_quant_trains(self, tmp_path):
+        """quant='ste' (rounding-aware fine-tune): steps run, loss is
+        finite and decreases, and gradients reach the analysis transform
+        through the straight-through round."""
+        cfg = _tiny_cfg(tmp_path, "hyper", quant="ste")
+        tr = Trainer(cfg)
+        before = np.asarray(
+            jax.tree.leaves(tr.state["params"]["analysis"])[0])
+        ds = data.SyntheticCubeDataset(cube_size=16, seed=2)
+        it = ds.batches(cfg.batch_size)
+        first = float(tr.train_step(next(it))["loss"])
+        losses = [float(tr.train_step(next(it))["loss"])
+                  for _ in range(30)]
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-5:]) < first
+        after = np.asarray(
+            jax.tree.leaves(tr.state["params"]["analysis"])[0])
+        assert not np.array_equal(before, after)
+
     def test_metrics_contents(self, tmp_path):
         tr = Trainer(_tiny_cfg(tmp_path))
         ds = data.SyntheticCubeDataset(cube_size=16)
