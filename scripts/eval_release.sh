@@ -11,6 +11,20 @@
 set -eu
 cd "$(dirname "$0")/.."
 
+# Rounding-aware (STE) fine-tune of the lowest-rate rung before the sweep:
+# at alpha=0.75 the noise relaxation collapses under real rounding
+# (eval IoU 0.27 vs train 0.55 in its train_log); a short --quant ste
+# pass matches train-time to decode-time. Skipped once done (step file).
+if [ "${SKIP_STE_FT:-0}" != "1" ]; then
+  echo "[eval_release] STE fine-tune of r2_a0.75b3"
+  timeout 4500 python -m pcgcv1_tpu.cli train \
+    --data 'data/corpus/*.npz' --mode hyper --batch_size 32 \
+    --dtype bfloat16 --save_every 1000 --cube_size 64 \
+    --lr_schedule cosine --quant ste \
+    --alpha 0.75 --beta 3 --num_iteration 8500 --lr 2e-5 \
+    --ckpt_dir checkpoints/r2_a0.75b3 || true
+fi
+
 python - <<'PY'
 from bench import _workload
 from pcgcv1_tpu.ops import write_ply
