@@ -77,6 +77,7 @@ def main():
     chunk = int(os.environ.get("PCGC_BENCH_CHUNK", "48"))
     dtype_name = os.environ.get("PCGC_BENCH_DTYPE", "bfloat16")
     coder = os.environ.get("PCGC_BENCH_CODER", "device")
+    mask_wire = os.environ.get("PCGC_BENCH_MASKWIRE", "packed")
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -92,7 +93,8 @@ def main():
 
     def make_codec(c, use_coder):
         return PointCloudCodec(mode="hyper", chunk=c, dtype=dtype,
-                               coder=use_coder, ckpt_dir=ckpt)
+                               coder=use_coder, ckpt_dir=ckpt,
+                               mask_wire=mask_wire)
 
     codec = make_codec(chunk, coder)
     nums = pre.points_numbers

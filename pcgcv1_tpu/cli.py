@@ -56,6 +56,12 @@ def _add_codec_flags(p):
                    help="VRN block implementation: 'xla' = native conv "
                         "lowering; 'pallas' = banded block-Toeplitz MXU "
                         "kernels (ops/vrn_pallas.py, voxception family)")
+    p.add_argument("--mask_wire", default="packed",
+                   choices=["packed", "rans"],
+                   help="decode-side mask download transport: 'packed' = "
+                        "raw bit-packed bytes; 'rans' = device nibble "
+                        "rANS + C++ host decode (~10-20x smaller wire). "
+                        "Transport only — streams are unaffected.")
     p.add_argument("--rootdir", default="./compressed")
 
 
@@ -68,7 +74,8 @@ def _make_codec(args):
         ckpt_dir=args.ckpt_dir or None, dtype=dtype, chunk=args.chunk,
         cube_size=args.cube_size, coder=getattr(args, "coder", "host"),
         prior=getattr(args, "prior", "float"),
-        vrn=getattr(args, "vrn", "xla"))
+        vrn=getattr(args, "vrn", "xla"),
+        mask_wire=getattr(args, "mask_wire", "packed"))
 
 
 def cmd_compress(args):

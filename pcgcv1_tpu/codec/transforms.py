@@ -108,18 +108,26 @@ class PointCloudCodec:
       lanes: max total interleaved rANS lanes for the device coder
         (rounded to a power of two dividing the per-cube element count).
       prior: "float" | "int" — see module docstring.
+      mask_wire: "packed" | "rans" — D2H transport of the classified
+        occupancy masks during decompression: raw bit-packed bytes, or
+        device-side nibble rANS (entropy/rans.py mask_encode) decoded by
+        the C++ runtime — shrinks decompression's largest download
+        ~10-20x at trained-model densities. Transport only; the bitstream
+        container format is unaffected.
     """
 
     def __init__(self, model="voxception", mode="hyper", ckpt_dir=None,
                  dtype=jnp.float32, chunk=64, cube_size=64, mesh=None,
                  seed=0, coder="host", lanes=rans.DEFAULT_LANES,
-                 prior="float", vrn="xla"):
+                 prior="float", vrn="xla", mask_wire="packed"):
         if mode not in ("hyper", "factorized"):
             raise ValueError(f"unknown mode {mode!r}")
         if coder not in ("host", "device"):
             raise ValueError(f"unknown coder {coder!r}")
         if prior not in ("float", "int"):
             raise ValueError(f"unknown prior {prior!r}")
+        if mask_wire not in ("packed", "rans"):
+            raise ValueError(f"unknown mask_wire {mask_wire!r}")
         if vrn not in ("xla", "pallas"):
             raise ValueError(f"unknown vrn impl {vrn!r}")
         if vrn == "pallas" and get_model(model).name != "voxception":
@@ -133,6 +141,7 @@ class PointCloudCodec:
                 "the host-coder stream header is reference-format and has "
                 "no field for the shipped activation scales")
         self.prior = prior
+        self.mask_wire = mask_wire
         self._qw = None          # lazy: derived integer hyper-decoder codes
         self.coder = coder
         self.lanes = int(lanes)
@@ -426,6 +435,20 @@ class PointCloudCodec:
                 if n < pad_to:
                     zh = jnp.pad(zh, ((0, pad_to - n),) + ((0, 0),) * 4)
                 return zh, states, ptr
+        elif name.startswith("maskenc:"):
+            # mask-wire transport coding (mask_wire="rans"): one chunk's
+            # bit-packed classified masks -> a nibble rANS unit
+            # (entropy/rans.py mask_encode); only words[:count] + the
+            # 4L-byte states + 64-byte histogram cross the host link.
+            # The C++ runtime (pcgc_rans_mask_decode) inverts it.
+            n = int(name.split(":")[1])
+            mb = n * (self.cube_size ** 3 // 8)
+            lanes = rans.mask_lanes(mb)
+            cap = self._mask_cap(n)
+
+            def fn(params, packed):
+                return rans.mask_encode(packed.reshape(-1),
+                                        rans.initial_states(lanes), cap)
         elif name.startswith("analysis_cdf_encode:"):
             # two-pass factorized device encode, pass B: re-run analysis
             # fused with the chained table-CDF rANS encode, so no chunk's
@@ -569,6 +592,45 @@ class PointCloudCodec:
         jax.tree.map(lambda t: t.copy_to_host_async(), tree)
         return tree
 
+    # --------------------------------------------------------- mask wire --
+    def _mask_cap(self, n):
+        """Static word capacity for one mask-wire unit of n cubes. The
+        empirical-histogram model cannot exceed ~4.2 bits/nibble (the
+        scaled-histogram quantization adds <2% over the empirical
+        entropy, itself <= 4 bits/nibble), so bytes/2 words plus slack is
+        provably sufficient."""
+        mb = n * (self.cube_size ** 3 // 8)
+        return mb // 2 + mb // 8 + rans.mask_lanes(mb) + 4096
+
+    def _fetch_packed(self, packed_dev):
+        """Start the D2H fetch of one chunk's bit-packed masks, honoring
+        mask_wire: 'packed' downloads the bytes; 'rans' entropy-codes them
+        on device first (maskenc program) and downloads the unit."""
+        if self.mask_wire != "rans":
+            return ("raw", self._start_fetch(packed_dev))
+        shape = packed_dev.shape
+        words, count, states, hist = self._jitted(
+            f"maskenc:{shape[0]}")(self.params, packed_dev)
+        return ("rans", words, self._start_fetch((count, states, hist)),
+                shape)
+
+    def _collect_packed(self, fut):
+        """Resolve one _fetch_packed future to host packed-mask bytes."""
+        if fut[0] == "raw":
+            return np.asarray(jax.device_get(fut[1]))
+        _, words_dev, (count, states, hist), shape = fut
+        cnt = int(np.asarray(count))
+        if cnt > words_dev.shape[0]:
+            raise OverflowError(
+                f"mask-wire word buffer overflow ({cnt} > cap "
+                f"{words_dev.shape[0]}) — should be impossible, see "
+                "_mask_cap")
+        words = np.asarray(jax.device_get(words_dev[:cnt]))
+        out = native.rans_mask_decode(words, np.asarray(states),
+                                      np.asarray(hist),
+                                      int(np.prod(shape)))
+        return out.reshape(shape)
+
     def _chunked(self, name, *arrays, scalars=()):
         """Run a jitted stage over the batch in fixed-size padded chunks.
         All chunks are dispatched before any fetch, with async D2H copies
@@ -576,10 +638,15 @@ class PointCloudCodec:
         fn = self._jitted(name)
         b = arrays[0].shape[0]
         arrays = [np.asarray(a) for a in arrays]
+        wire = name == "classify" and self.mask_wire == "rans"
         futs = []
         for _, pieces in self._iter_chunks(arrays):
-            futs.append(self._start_fetch(
-                fn(self.params, *self._put(pieces), *scalars)))
+            out = fn(self.params, *self._put(pieces), *scalars)
+            futs.append(self._fetch_packed(out) if wire
+                        else self._start_fetch(out))
+        if wire:
+            return np.concatenate(
+                [self._collect_packed(f) for f in futs], axis=0)[:b]
         outs = [jax.device_get(f) for f in futs]
         out = _tree_concat(outs)
         return jax.tree.map(lambda a: a[:b], out)
@@ -698,8 +765,12 @@ class PointCloudCodec:
             fin = self._jitted(f"cdf_{final}:{n}")
             out, states, ptr = fin(self.params, words, trows, mv,
                                    states, ptr, *ex, *scalars)
-            futs.append(self._start_fetch(out))
+            futs.append(self._fetch_packed(out) if final == "classify"
+                        else self._start_fetch(out))
         rans.check_final_states(states)
+        if final == "classify":
+            return np.concatenate(
+                [self._collect_packed(f) for f in futs], axis=0)
         return _tree_concat([jax.device_get(f) for f in futs])
 
     def decompress_factorized(self, strings, min_v, max_v, shape):
@@ -1042,10 +1113,14 @@ class PointCloudCodec:
             fin = self._jitted(f"rans_{final}:{n}:{bits}")
             out, states, ptr = fin(self.params, words, states, ptr,
                                    ybase, lq, sq, *ex, *scalars)
-            futs.append(self._start_fetch(out))
+            futs.append(self._fetch_packed(out) if final == "classify"
+                        else self._start_fetch(out))
         rans.check_final_states(states)
         if z_device:
             rans.check_final_states(zstates)
+        if final == "classify":
+            return np.concatenate(
+                [self._collect_packed(f) for f in futs], axis=0)[:b]
         out = _tree_concat([jax.device_get(f) for f in futs])
         return jax.tree.map(lambda a: a[:b], out)
 
@@ -1088,9 +1163,14 @@ class PointCloudCodec:
                 pieces = [np.concatenate(
                     [p, np.zeros((self.chunk - n,) + p.shape[1:], p.dtype)],
                     axis=0) for p in pieces]
-            ofuts.append(self._start_fetch(
-                fin(self.params, *self._put(pieces), *scalars)))
+            out_dev = fin(self.params, *self._put(pieces), *scalars)
+            wire = final == "classify" and self.mask_wire == "rans"
+            ofuts.append(self._fetch_packed(out_dev) if wire
+                         else self._start_fetch(out_dev))
 
+        if final == "classify" and self.mask_wire == "rans":
+            return np.concatenate(
+                [self._collect_packed(f) for f in ofuts], axis=0)[:b]
         out = _tree_concat([jax.device_get(f) for f in ofuts])
         return jax.tree.map(lambda a: a[:b], out)
 

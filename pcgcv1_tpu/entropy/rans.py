@@ -342,6 +342,125 @@ def initial_states(lanes):
     return jnp.full((lanes,), RANS_L, jnp.uint32)
 
 
+# ------------------------- mask-wire nibble coding ---------------------------
+# Decode-side transport compression for the classified occupancy masks: the
+# bit-packed masks are decompression's largest device->host transfer
+# (1 bit/voxel = cs^3/8 bytes per cube; ~4.7 MB per vox10 workload,
+# PERF_NOTES.md link profile). Entropy-coding the packed bytes on device
+# before download shrinks the wire ~10-25x at trained-model densities.
+# This is D2H transport INSIDE decompression only — it never touches the
+# bitstream container format.
+#
+# Model: a 16-symbol (nibble) alphabet with a per-chunk empirical histogram
+# — N=16 keeps the gather-free table lookups cheap on the VPU (16 masked
+# sums per scan step instead of 256). Each chunk is its own coding unit
+# (masks are produced forward during decode, and rANS is LIFO, so units
+# cannot chain across chunks). The host decoder is C++
+# (native pcgc_rans_mask_decode); it rebuilds the CDF from the downloaded
+# scaled histogram with the SAME integer algorithm as cdf16_from_hist.
+
+MASK_SYMS = 16
+
+
+def _mask_nibbles(packed_bytes):
+    """uint8 [M] -> int32 [2M] nibbles, high nibble first (the bit order
+    np.unpackbits uses on the packed masks)."""
+    b = packed_bytes.astype(jnp.int32).reshape(-1)
+    return jnp.stack([b >> 4, b & 15], axis=-1).reshape(-1)
+
+
+def scaled_hist16(nibs):
+    """16-bin histogram, scaled so the total stays below 2^15 (keeps the
+    cdf16_from_hist products inside int32 on any backend) while every
+    occurring symbol keeps a nonzero count. The SCALED histogram is what
+    ships to the host — the decoder never rescales."""
+    h = jnp.sum((nibs[:, None] == jnp.arange(MASK_SYMS)[None, :]),
+                axis=0, dtype=jnp.int32)
+    m = jnp.maximum(h.sum(), 1)
+    s = jnp.maximum(
+        jnp.ceil(jnp.log2(m.astype(jnp.float32))).astype(jnp.int32) - 14, 0)
+    return jnp.maximum(h >> s, (h > 0).astype(jnp.int32))
+
+
+def cdf16_from_hist(hist):
+    """Quantized CDF (denominator TOTAL) from a scaled 16-bin histogram.
+
+    Pure integer and deterministic: floor-scale with +1 for occurring
+    symbols, dump the remainder on the first-most-frequent bin, and clamp
+    the degenerate single-symbol case to TOTAL-1 (f = TOTAL would overflow
+    the encoder's uint32 f << 16 renormalization test). MIRRORED in C++
+    (pcgc_native.cc Cdf16FromHist) — keep the two in lockstep; any
+    divergence corrupts mask decode.
+    """
+    h = hist.astype(jnp.int32)
+    m = jnp.maximum(h.sum(), 1)
+    nnz = (h > 0).sum()
+    f = (h * (TOTAL - nnz)) // m + (h > 0)
+    f = f.at[jnp.argmax(h)].add(TOTAL - f.sum())
+    f = jnp.minimum(f, TOTAL - 1)
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.uint32),
+         jnp.cumsum(f).astype(jnp.uint32)])
+
+
+def mask_lanes(n_bytes, max_lanes=DEFAULT_LANES):
+    """Lane count for a mask unit: largest power of two <= max_lanes
+    dividing the nibble count."""
+    return pick_lanes(2 * n_bytes, max_lanes)
+
+
+def mask_encode(packed_bytes, states, cap):
+    """Encode one chunk's packed mask bytes as one nibble rANS unit.
+
+    Returns (words uint16 [cap], count int32, states uint32 [L],
+    hist int32 [16]); download words[:count] + the three small arrays.
+    states must be initial_states(L) with L dividing 2*len(packed_bytes).
+    """
+    nib = _mask_nibbles(packed_bytes)
+    hist = scaled_hist16(nib)
+    cdf = cdf16_from_hist(hist)
+    lanes = states.shape[0]
+    table = jnp.broadcast_to(cdf[None, :], (lanes, MASK_SYMS + 1))
+    enc, _ = _table_model(table)
+    words, count, states = _encode_scan(_ts(nib, lanes), (), enc, states,
+                                        cap)
+    return words, count, states, hist
+
+
+def mask_decode_np(words, states, hist, n_bytes, lanes):
+    """Reference/fallback host decoder (numpy; the production path is the
+    C++ pcgc_rans_mask_decode). Vectorized across lanes, sequential in
+    scan steps — mirrors _decode_scan exactly."""
+    cdf = np.asarray(jax.device_get(cdf16_from_hist(jnp.asarray(hist))),
+                     np.uint64)
+    freq = cdf[1:] - cdf[:-1]
+    lut = np.zeros(TOTAL, np.uint8)
+    for s in range(MASK_SYMS):
+        lut[int(cdf[s]):int(cdf[s + 1])] = s
+    x = np.asarray(states, np.uint64).copy()
+    words = np.asarray(words, np.uint64)
+    n_nib = 2 * n_bytes
+    t = n_nib // lanes
+    out = np.empty((t, lanes), np.uint8)
+    p = 0
+    for step in range(t):
+        dv = x & 0xFFFF
+        u = lut[dv.astype(np.int64)]
+        out[step] = u
+        x = freq[u] * (x >> 16) + dv - cdf[:-1][u]
+        need = x < (1 << 16)
+        k = int(need.sum())
+        if k:
+            if p + k > len(words):
+                raise ValueError("mask stream truncated")
+            x[need] = (x[need] << np.uint64(16)) | words[p:p + k]
+            p += k
+    if not (x == (1 << 16)).all():
+        raise ValueError("mask stream integrity check failed")
+    nib = out.reshape(-1)
+    return ((nib[0::2] << 4) | nib[1::2]).astype(np.uint8)
+
+
 def check_final_states(states):
     """A fully-consumed stream leaves every lane at RANS_L; anything else
     means corruption or a mismatched prior. Host-side, cheap."""

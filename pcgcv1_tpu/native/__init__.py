@@ -90,6 +90,11 @@ _lib.pcgc_octree_encode.argtypes = [_u32p, _i64, _i32, _i8p, _i64]
 _lib.pcgc_octree_decode.restype = _i64
 _lib.pcgc_octree_decode.argtypes = [_i8p, _i64, _i32, _u32p, _i64]
 
+_u16p = ctypes.POINTER(ctypes.c_uint16)
+_lib.pcgc_rans_mask_decode.restype = ctypes.c_int
+_lib.pcgc_rans_mask_decode.argtypes = [
+    _u16p, _i64, _u32p, _i32, _i32p, _i8p, _i64]
+
 
 def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
@@ -296,3 +301,24 @@ def octree_decode(data, depth, max_points):
     if n < 0:
         raise ValueError("octree_decode failed")
     return out[:n].astype(np.int32)
+
+
+def rans_mask_decode(words, states, hist, n_bytes):
+    """Decode one device mask-wire rANS unit (entropy/rans.py mask_encode)
+    back to the bit-packed mask bytes. words uint16 [count], states uint32
+    [L] (the encoder's final states), hist int32 [16] (the scaled
+    histogram that shipped with the stream)."""
+    words = np.ascontiguousarray(words, np.uint16)
+    states = np.ascontiguousarray(states, np.uint32)
+    hist = np.ascontiguousarray(hist, np.int32)
+    out = np.empty(int(n_bytes), np.uint8)
+    rc = _lib.pcgc_rans_mask_decode(
+        _ptr(words, ctypes.c_uint16), words.size,
+        _ptr(states, ctypes.c_uint32), states.size,
+        _ptr(hist, ctypes.c_int32), _ptr(out, ctypes.c_uint8),
+        out.size)
+    if rc != 0:
+        raise ValueError(
+            f"mask-wire rANS decode failed (code {rc}): corrupt stream "
+            "or encoder/decoder histogram mismatch")
+    return out

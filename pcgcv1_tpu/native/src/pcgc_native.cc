@@ -650,3 +650,90 @@ int64_t pcgc_octree_decode(const uint8_t* buf, int64_t nbytes, int32_t depth,
 }
 
 }  // extern "C"
+
+// ------------------------- mask-wire rANS decode ---------------------------
+// Host decoder for the device's nibble-alphabet interleaved rANS units
+// (entropy/rans.py mask_encode): the decompression pipeline entropy-codes
+// the bit-packed occupancy masks on the TPU before download (the largest
+// remaining D2H transfer), and this decodes them back to packed bytes.
+// Stream: L interleaved lanes, uint16 words in ascending (step, lane)
+// order, PRECISION = 16, states start (encode) and end (decode) at 2^16.
+
+namespace pcgc {
+namespace {
+
+// MIRROR of entropy/rans.py cdf16_from_hist — pure integer, keep in
+// lockstep; any divergence corrupts mask decode.
+void Cdf16FromHist(const int32_t* hist, uint32_t* cdf /*[17]*/) {
+  constexpr int64_t kTotal = 1 << 16;
+  int64_t m = 0, nnz = 0;
+  for (int i = 0; i < 16; ++i) {
+    m += hist[i];
+    nnz += hist[i] > 0;
+  }
+  if (m < 1) m = 1;
+  int64_t f[16];
+  int64_t fsum = 0;
+  int argmax = 0;
+  for (int i = 0; i < 16; ++i) {
+    f[i] = (static_cast<int64_t>(hist[i]) * (kTotal - nnz)) / m +
+           (hist[i] > 0 ? 1 : 0);
+    fsum += f[i];
+    if (hist[i] > hist[argmax]) argmax = i;  // first max, like jnp.argmax
+  }
+  f[argmax] += kTotal - fsum;
+  for (int i = 0; i < 16; ++i)
+    if (f[i] > kTotal - 1) f[i] = kTotal - 1;
+  cdf[0] = 0;
+  uint32_t acc = 0;
+  for (int i = 0; i < 16; ++i) {
+    acc += static_cast<uint32_t>(f[i]);
+    cdf[i + 1] = acc;
+  }
+}
+
+}  // namespace
+}  // namespace pcgc
+
+extern "C" {
+
+// Returns 0 on success; -2 = word underrun, -3 = final-state integrity
+// failure (corrupt stream or histogram mismatch). out_bytes: n_bytes.
+int pcgc_rans_mask_decode(const uint16_t* words, int64_t n_words,
+                          const uint32_t* states_in, int32_t lanes,
+                          const int32_t* hist, uint8_t* out_bytes,
+                          int64_t n_bytes) {
+  constexpr uint64_t kRansL = 1ull << 16;
+  uint32_t cdf[17];
+  pcgc::Cdf16FromHist(hist, cdf);
+  std::vector<uint8_t> lut(1 << 16);
+  for (int s = 0; s < 16; ++s)
+    for (uint32_t d = cdf[s]; d < cdf[s + 1]; ++d) lut[d] = s;
+  std::vector<uint64_t> x(states_in, states_in + lanes);
+  const int64_t n_nib = 2 * n_bytes;
+  const int64_t t = n_nib / lanes;
+  std::vector<uint8_t> nib(static_cast<size_t>(n_nib));
+  int64_t p = 0;
+  for (int64_t step = 0; step < t; ++step) {
+    uint8_t* row = nib.data() + step * lanes;
+    for (int32_t l = 0; l < lanes; ++l) {
+      const uint64_t dv = x[l] & 0xFFFF;
+      const int u = lut[dv];
+      row[l] = static_cast<uint8_t>(u);
+      x[l] = static_cast<uint64_t>(cdf[u + 1] - cdf[u]) * (x[l] >> 16) +
+             dv - cdf[u];
+      if (x[l] < kRansL) {
+        if (p >= n_words) return -2;
+        x[l] = (x[l] << 16) | words[p++];
+      }
+    }
+  }
+  for (int32_t l = 0; l < lanes; ++l)
+    if (x[l] != kRansL) return -3;
+  for (int64_t i = 0; i < n_bytes; ++i)
+    out_bytes[i] =
+        static_cast<uint8_t>((nib[2 * i] << 4) | (nib[2 * i + 1] & 15));
+  return 0;
+}
+
+}  // extern "C"

@@ -344,3 +344,41 @@ class TestSparseFeed:
         cubes = pre.cubes.reshape(pre.cubes.shape[0], -1)
         want = np.flatnonzero(cubes).astype(np.int64)
         assert np.array_equal(np.asarray(pre.flat_ids), want)
+
+
+@pytest.mark.slow
+class TestMaskWire:
+    """mask_wire='rans': decompressed masks must be byte-identical to the
+    'packed' transport on every decode path (transport must be invisible)."""
+
+    def test_hyper_device_coder(self, pre):
+        base = _codec("hyper", coder="device", lanes=8)
+        wire = _codec("hyper", coder="device", lanes=8, mask_wire="rans")
+        wire.params = base.params
+        hs = base.compress_hyper(pre.cubes)
+        nums = pre.points_numbers
+        m0 = base.decompress_hyper_masks(hs, nums, rho=1.0)
+        m1 = wire.decompress_hyper_masks(hs, nums, rho=1.0)
+        assert np.array_equal(m0, m1)
+
+    def test_hyper_host_coder_pipeline(self, pre):
+        base = _codec("hyper")
+        wire = _codec("hyper", mask_wire="rans")
+        wire.params = base.params
+        hs = base.compress_hyper(pre.cubes)
+        nums = pre.points_numbers
+        m0 = base.decompress_hyper_masks(hs, nums, rho=1.0)
+        m1 = wire.decompress_hyper_masks(hs, nums, rho=1.0)
+        assert np.array_equal(m0, m1)
+
+    def test_factorized_both_coders(self, pre):
+        for kw in ({"coder": "device", "lanes": 16}, {}):
+            base = _codec("factorized", **kw)
+            wire = _codec("factorized", mask_wire="rans", **kw)
+            wire.params = base.params
+            s, mn, mx, shape = base.compress_factorized(pre.cubes)
+            m0 = base.decompress_factorized_masks(
+                s, mn, mx, shape, pre.points_numbers, rho=1.0)
+            m1 = wire.decompress_factorized_masks(
+                s, mn, mx, shape, pre.points_numbers, rho=1.0)
+            assert np.array_equal(m0, m1)

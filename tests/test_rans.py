@@ -272,3 +272,67 @@ def test_pick_lanes():
     assert rans.pick_lanes(64) == 64
     assert rans.pick_lanes(4096, max_lanes=32) == 32
     assert rans.pick_lanes(96) == 32  # largest pow2 divisor
+
+
+# ------------------------- mask-wire nibble coding ---------------------------
+
+
+class TestMaskWire:
+    """Decode-side mask transport coding: device nibble rANS unit
+    (mask_encode) inverted by the C++ runtime (pcgc_rans_mask_decode) and
+    the numpy mirror (mask_decode_np)."""
+
+    def _roundtrip(self, data):
+        import jax
+        from pcgcv1_tpu import native
+        nb = len(data)
+        lanes = rans.mask_lanes(nb)
+        cap = nb // 2 + nb // 8 + lanes + 4096
+        w, c, st, h = jax.jit(rans.mask_encode, static_argnums=2)(
+            jnp.asarray(data), rans.initial_states(lanes), cap)
+        c = int(c)
+        assert c <= cap
+        w = np.asarray(w)[:c]
+        out_cc = native.rans_mask_decode(w, np.asarray(st),
+                                         np.asarray(h), nb)
+        out_np = rans.mask_decode_np(w, np.asarray(st), np.asarray(h),
+                                     nb, lanes)
+        assert np.array_equal(out_cc, data)
+        assert np.array_equal(out_np, data)
+        return 2 * c + 4 * lanes + 64  # wire bytes
+
+    def test_sparse_masks_roundtrip_and_shrink(self, rng):
+        bits = (rng.random(64 * 4096) < 0.02).astype(np.uint8)
+        data = np.packbits(bits)
+        wire = self._roundtrip(data)
+        assert wire < len(data) // 3  # >3x even with the per-unit flush
+
+    def test_degenerate_all_zero_and_all_one(self):
+        self._roundtrip(np.zeros(8192, np.uint8))
+        self._roundtrip(np.full(8192, 255, np.uint8))
+
+    def test_uniform_bytes_within_cap(self, rng):
+        data = rng.integers(0, 256, 32768).astype(np.uint8)
+        self._roundtrip(data)
+
+    def test_corruption_detected(self, rng):
+        import jax
+        from pcgcv1_tpu import native
+        data = np.packbits((rng.random(32768) < 0.05).astype(np.uint8))
+        nb = len(data)
+        lanes = rans.mask_lanes(nb)
+        cap = nb // 2 + nb // 8 + lanes + 4096
+        w, c, st, h = jax.jit(rans.mask_encode, static_argnums=2)(
+            jnp.asarray(data), rans.initial_states(lanes), cap)
+        w = np.asarray(w)[:int(c)].copy()
+        w[len(w) // 2] ^= 0x5A5A
+        with pytest.raises(ValueError):
+            native.rans_mask_decode(w, np.asarray(st), np.asarray(h), nb)
+
+    def test_cdf_build_matches_cpp(self, rng):
+        """The jnp and C++ CDF builders must agree bin for bin (a
+        divergence corrupts every stream) — cross-checked through a
+        round trip whose histogram exercises scaling + remainders."""
+        # highly skewed histogram with a forced scale-down (>2^15 total)
+        bits = (rng.random(8 * 65536) < 0.007).astype(np.uint8)
+        self._roundtrip(np.packbits(bits))
