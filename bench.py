@@ -77,7 +77,10 @@ def main():
     chunk = int(os.environ.get("PCGC_BENCH_CHUNK", "48"))
     dtype_name = os.environ.get("PCGC_BENCH_DTYPE", "bfloat16")
     coder = os.environ.get("PCGC_BENCH_CODER", "device")
-    mask_wire = os.environ.get("PCGC_BENCH_MASKWIRE", "packed")
+    # "packed" | "rans" pins the mask transport; "probe" (default) measures
+    # packed first, then tries the rANS mask wire and keeps the faster one
+    mask_wire_env = os.environ.get("PCGC_BENCH_MASKWIRE", "probe")
+    mask_wire = "packed" if mask_wire_env == "probe" else mask_wire_env
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -147,6 +150,25 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"alternate-chunk probe failed ({type(e).__name__}: {e}); "
               "keeping primary measurement", file=sys.stderr)
+
+    # mask-wire probe: re-run with the rANS-coded mask download (decode's
+    # largest D2H transfer, ~10-20x smaller wire) and keep the faster side
+    if mask_wire_env == "probe":
+        try:
+            codec3 = PointCloudCodec(
+                mode="hyper", chunk=codec.chunk, dtype=dtype,
+                coder=codec.coder, ckpt_dir=ckpt, mask_wire="rans")
+            codec3.params = codec.params
+            h3 = codec3.compress_hyper(pre)
+            codec3.decompress_hyper_masks(h3, nums, 1.0)
+            mw_passes = [one_pass(codec3, pre, f"maskwire {i}")
+                         for i in range(2)]
+            if max(p[2] for p in mw_passes) > max(p[2] for p in passes):
+                codec, passes = codec3, mw_passes
+                print("mask wire: rans wins", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"mask-wire probe failed ({type(e).__name__}: {e}); "
+                  "keeping packed", file=sys.stderr)
 
     best_enc = max(p[0] for p in passes)
     best_dec = max(p[1] for p in passes)
