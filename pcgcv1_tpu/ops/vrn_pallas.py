@@ -290,6 +290,125 @@ def _vrn_b_kernel(t1a_hbm, t2a_hbm, x_in, t12, t22, t23, b12, b22, b23,
         out[0, zz] = jnp.maximum(x + p1 + p2e, 0.0).astype(out.dtype)
 
 
+# --------------------------- merged-M kernels (v2) ---------------------------
+#
+# The v1 kernels above issue 9 small dots of M = ya_ext (~72 rows) per
+# z-plane per output segment: M=72 pipeline-drains the MXU, and every dot
+# reads an unaligned [dy:dy+rows] sublane window. v2 restructures both
+# stages (PERF_NOTES round-2 handoff #1):
+#
+# - the halo slab is DMA'd THREE times, once per dy tap, each copy
+#   pre-shifted by dy rows — all later reads are leading-dim (z-plane)
+#   slices, fully tile-aligned;
+# - all tz output planes of one grid step share each (dz, dy) dot: the
+#   LHS merges the z-planes into the dot M dimension ([tz*ya, K] @
+#   [K, 128]), so M grows from ~72 to tz*72+ and the 9 dots per segment
+#   run once per grid step instead of once per plane.
+
+def _vrn_a_kernel_v2(xp_hbm, t11, t21, b11, b21, t1a_out, t2a_out,
+                     s0, s1, s2, sems, *, tz, w_ext, c, ya_ext, la_ext,
+                     starts, ws):
+    """Grid (B, (W+2)//tz). Same math as _vrn_a_kernel; merged-M layout."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    shifted = (s0, s1, s2)
+    for dy in range(3):
+        cp = pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(i * tz, tz + 2),
+                      pl.ds(dy, ya_ext)], shifted[dy], sems.at[dy])
+        cp.start()
+    for dy in range(3):
+        pltpu.make_async_copy(
+            xp_hbm.at[b, pl.ds(i * tz, tz + 2),
+                      pl.ds(dy, ya_ext)], shifted[dy], sems.at[dy]).wait()
+    f32 = jnp.float32
+    m = tz * ya_ext
+    # ring + z masks over the merged [tz*ya_ext] row axis: row r belongs
+    # to extended plane t_glob = i*tz + r//ya_ext at in-plane row r%ya_ext
+    rows = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    rp = rows % ya_ext
+    tg = i * tz + rows // ya_ext
+    row_ok = ((rp > 0) & (rp < w_ext - 1)
+              & (tg > 0) & (tg < w_ext - 1)).astype(f32)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, la_ext), 1) // (c // 4)
+    lane_ok = ((lanes > 0) & (lanes < w_ext - 1)).astype(f32)
+    bw = t11.shape[-1]
+    for n, s in enumerate(starts):
+        sl = slice(bw * n, bw * (n + 1))
+        acc = jnp.zeros((m, bw), f32)
+        for dz in range(3):
+            for dy in range(3):
+                lhs = shifted[dy][dz:dz + tz].reshape(m, -1)
+                acc += jnp.dot(lhs[:, s:s + ws], t11[dz, dy, n, :, :],
+                               preferred_element_type=f32)
+        mask = row_ok * lane_ok[:, sl]
+        t1a_out[0, :, :, sl] = (
+            jnp.maximum(acc + b11[:, sl], 0.0) * mask).astype(
+            t1a_out.dtype).reshape(tz, ya_ext, bw)
+        ctr = shifted[1][1:1 + tz].reshape(m, -1)
+        t2 = jnp.dot(ctr[:, s:s + ws], t21[n, :, :],
+                     preferred_element_type=f32)
+        t2a_out[0, :, :, sl] = (
+            jnp.maximum(t2 + b21[:, sl], 0.0) * mask).astype(
+            t2a_out.dtype).reshape(tz, ya_ext, bw)
+
+
+def _vrn_b_kernel_v2(t1a_hbm, t2a_hbm, x_in, t12, t22, t23, b12, b22, b23,
+                     out, s1bufs, s2bufs, sems, *, tz, width, c,
+                     segs12, segs22, segs23):
+    """Grid (B, W//tz). Same math as _vrn_b_kernel; merged-M layout."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    for dy in range(3):
+        pltpu.make_async_copy(
+            t1a_hbm.at[b, pl.ds(i * tz, tz + 2), pl.ds(dy, width)],
+            s1bufs.at[dy], sems.at[dy]).start()
+        pltpu.make_async_copy(
+            t2a_hbm.at[b, pl.ds(i * tz, tz + 2), pl.ds(dy, width)],
+            s2bufs.at[dy], sems.at[3 + dy]).start()
+    for dy in range(3):
+        pltpu.make_async_copy(
+            t1a_hbm.at[b, pl.ds(i * tz, tz + 2), pl.ds(dy, width)],
+            s1bufs.at[dy], sems.at[dy]).wait()
+        pltpu.make_async_copy(
+            t2a_hbm.at[b, pl.ds(i * tz, tz + 2), pl.ds(dy, width)],
+            s2bufs.at[dy], sems.at[3 + dy]).wait()
+    f32 = jnp.float32
+    s12, ws12 = segs12
+    s22, ws22 = segs22
+    s23, ws23 = segs23
+    m = tz * width
+    p1_blocks = []
+    for n, s in enumerate(s12):
+        acc = jnp.zeros((m, t12.shape[-1]), f32)
+        for dz in range(3):
+            for dy in range(3):
+                lhs = s1bufs[dy, dz:dz + tz].reshape(m, -1)
+                acc += jnp.dot(lhs[:, s:s + ws12], t12[dz, dy, n, :, :],
+                               preferred_element_type=f32)
+        p1_blocks.append(acc)
+    p1 = jnp.concatenate(p1_blocks, axis=1)
+    p2_blocks = []
+    for n, s in enumerate(s22):
+        acc = jnp.zeros((m, t22.shape[-1]), f32)
+        for dz in range(3):
+            for dy in range(3):
+                lhs = s2bufs[dy, dz:dz + tz].reshape(m, -1)
+                acc += jnp.dot(lhs[:, s:s + ws22], t22[dz, dy, n, :, :],
+                               preferred_element_type=f32)
+        p2_blocks.append(acc)
+    p2 = jnp.concatenate(p2_blocks, axis=1)
+    p1 = jnp.maximum(p1 + b12[:], 0.0)
+    t2b = jnp.maximum(p2 + b22[:], 0.0).astype(s1bufs.dtype)
+    p2e = jnp.maximum(jnp.concatenate(
+        [jnp.dot(t2b[:, s:s + ws23], t23[n, :, :],
+                 preferred_element_type=f32)
+         for n, s in enumerate(s23)], axis=1) + b23[:], 0.0)
+    x = x_in[0].reshape(m, -1).astype(f32)
+    out[0] = jnp.maximum(x + p1 + p2e, 0.0).astype(out.dtype).reshape(
+        tz, width, width * c)
+
+
 # ------------------------------- host wrapper --------------------------------
 
 def _divisor_near(n, target):
@@ -299,18 +418,24 @@ def _divisor_near(n, target):
     return 1
 
 
-def vrn_block_pallas(x, tables, interpret=False):
+def vrn_block_pallas(x, tables, interpret=False, variant="merged"):
     """Apply one VRN block: x [B, W, W, W, C] -> same shape.
 
     Matches flax VRNBlock (models/voxception.py) with dtype bfloat16:
     bf16 activations/tables, f32 accumulation. Call inside jit with
     ``tables`` closed over (its "c"/"width" entries are static python ints).
+
+    variant: "merged" (v2 kernels — z-planes merged into the dot M
+    dimension, dy-pre-shifted slab DMAs) or "planes" (v1 — one dot set
+    per z-plane). Both are numerically identical; "merged" is the
+    performance path (PERF_NOTES round-2 handoff #1).
     """
     c = tables["c"]
     width = tables["width"]
     bsz = x.shape[0]
     w_ext, w_pad = width + 2, width + 4
     dtype = tables["t11"].dtype
+    merged = variant == "merged"
     tz_a = _divisor_near(w_ext, 8)   # (W+2) % tz_a == 0
     tz_b = _divisor_near(width, 8)
 
@@ -325,11 +450,22 @@ def vrn_block_pallas(x, tables, interpret=False):
     xp = jnp.pad(xr, ((0, 0), (2, 2), (2, y_in - width - 2),
                       (2 * c, la_in - width * c - 2 * c)))
 
+    if merged:
+        kern_a = functools.partial(
+            _vrn_a_kernel_v2, tz=tz_a, w_ext=w_ext, c=c, ya_ext=ya_ext,
+            la_ext=la_ext, starts=tables["t11_starts"],
+            ws=tables["t11"].shape[-2])
+        scratch_a = [pltpu.VMEM((tz_a + 2, ya_ext, la_in), dtype)
+                     for _ in range(3)] + [pltpu.SemaphoreType.DMA((3,))]
+    else:
+        kern_a = functools.partial(
+            _vrn_a_kernel, tz=tz_a, w_ext=w_ext, c=c, ya_ext=ya_ext,
+            la_ext=la_ext, starts=tables["t11_starts"],
+            ws=tables["t11"].shape[-2])
+        scratch_a = [pltpu.VMEM((tz_a + 2, y_in, la_in), dtype),
+                     pltpu.SemaphoreType.DMA(())]
     t1a, t2a = pl.pallas_call(
-        functools.partial(_vrn_a_kernel, tz=tz_a, w_ext=w_ext, c=c,
-                          ya_ext=ya_ext, la_ext=la_ext,
-                          starts=tables["t11_starts"],
-                          ws=tables["t11"].shape[-2]),
+        kern_a,
         grid=(bsz, w_ext // tz_a),
         in_specs=[
             # halo-DMA source: must stay in (untiled) HBM — Mosaic cannot
@@ -352,19 +488,34 @@ def vrn_block_pallas(x, tables, interpret=False):
             jax.ShapeDtypeStruct((bsz, w_ext, ya_ext, la_ext), dtype),
             jax.ShapeDtypeStruct((bsz, w_ext, ya_ext, la_ext), dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((tz_a + 2, y_in, la_in), dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_a,
         interpret=interpret,
     )(xp, tables["t11"], tables["t21"], tables["b11"], tables["b21"])
 
-    out = pl.pallas_call(
-        functools.partial(
+    if merged:
+        kern_b = functools.partial(
+            _vrn_b_kernel_v2, tz=tz_b, width=width, c=c,
+            segs12=(tables["t12_starts"], tables["t12"].shape[-2]),
+            segs22=(tables["t22_starts"], tables["t22"].shape[-2]),
+            segs23=(tables["t23_starts"], tables["t23"].shape[-2]))
+        scratch_b = [
+            pltpu.VMEM((3, tz_b + 2, width, la_ext), dtype),
+            pltpu.VMEM((3, tz_b + 2, width, la_ext), dtype),
+            pltpu.SemaphoreType.DMA((6,)),
+        ]
+    else:
+        kern_b = functools.partial(
             _vrn_b_kernel, tz=tz_b, width=width, c=c,
             segs12=(tables["t12_starts"], tables["t12"].shape[-2]),
             segs22=(tables["t22_starts"], tables["t22"].shape[-2]),
-            segs23=(tables["t23_starts"], tables["t23"].shape[-2])),
+            segs23=(tables["t23_starts"], tables["t23"].shape[-2]))
+        scratch_b = [
+            pltpu.VMEM((tz_b + 2, ya_ext, la_ext), dtype),
+            pltpu.VMEM((tz_b + 2, ya_ext, la_ext), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    out = pl.pallas_call(
+        kern_b,
         grid=(bsz, width // tz_b),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -384,11 +535,7 @@ def vrn_block_pallas(x, tables, interpret=False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, width, width, width * c),
                                        dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tz_b + 2, ya_ext, la_ext), dtype),
-            pltpu.VMEM((tz_b + 2, ya_ext, la_ext), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_b,
         interpret=interpret,
     )(t1a, t2a, xr, tables["t12"], tables["t22"], tables["t23"],
       tables["b12"], tables["b22"], tables["b23"])

@@ -15,8 +15,9 @@ from pcgcv1_tpu.models.voxception import VRNBlock
 from pcgcv1_tpu.ops import vrn_pallas
 
 
+@pytest.mark.parametrize("variant", ["planes", "merged"])
 @pytest.mark.parametrize("c,width", [(16, 8), (32, 8), (16, 14)])
-def test_vrn_pallas_matches_flax(c, width):
+def test_vrn_pallas_matches_flax(c, width, variant):
     rng = np.random.default_rng(c + width)
     x = rng.normal(0, 1, (2, width, width, width, c)).astype(np.float32)
     block = VRNBlock(filters=c, dtype=jnp.float32)
@@ -24,13 +25,13 @@ def test_vrn_pallas_matches_flax(c, width):
     ref = np.asarray(block.apply({"params": params}, jnp.asarray(x)))
 
     tables = vrn_pallas.build_vrn_tables(params, width, dtype=jnp.float32)
-    got = np.asarray(vrn_block_apply(x, tables))
+    got = np.asarray(vrn_block_apply(x, tables, variant))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
-def vrn_block_apply(x, tables):
+def vrn_block_apply(x, tables, variant="merged"):
     return jax.jit(lambda a: vrn_pallas.vrn_block_pallas(
-        a, tables, interpret=True))(jnp.asarray(x))
+        a, tables, interpret=True, variant=variant))(jnp.asarray(x))
 
 
 @pytest.mark.slow
