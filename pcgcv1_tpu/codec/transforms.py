@@ -47,6 +47,7 @@ from pcgcv1_tpu.entropy import FactorizedEntropy, conditional, qprior, rans
 from pcgcv1_tpu.entropy.factorized import export_cdf_weights
 from pcgcv1_tpu.models import get_model
 from pcgcv1_tpu.utils import checkpoint as ckpt_lib
+from pcgcv1_tpu.utils import npinit
 
 SCALE_LOWER_BOUND = conditional.SCALE_LOWER_BOUND
 # quantized-prior grids — must match the C++ LocFromCode/ScaleFromCode
@@ -226,14 +227,10 @@ class PointCloudCodec:
         warnings.warn(
             "PointCloudCodec running with random-initialized weights "
             "(no ckpt_dir given)")
-        try:
-            cpus = jax.local_devices(backend="cpu")
-        except RuntimeError:
-            cpus = []
-        if cpus:
-            with jax.default_device(cpus[0]):
-                return jax.jit(make)()
-        return jax.jit(make)()
+        # numpy-sampled init over the eval_shape skeleton: zero XLA
+        # compiles (a jitted or eager flax init costs minutes on a
+        # cold-cache host — utils/npinit.py)
+        return npinit.numpy_init(jax.eval_shape(make), seed=seed)
 
     @staticmethod
     def _pack_classify(logits, nums, rho):

@@ -37,6 +37,7 @@ from pcgcv1_tpu.models import get_model
 from pcgcv1_tpu.parallel import mesh as mesh_lib
 from pcgcv1_tpu.training import losses
 from pcgcv1_tpu.utils import checkpoint as ckpt_lib
+from pcgcv1_tpu.utils import npinit
 
 
 @dataclasses.dataclass
@@ -141,24 +142,20 @@ class Trainer:
         }
 
     def _materialize_state(self):
-        """Random-init state, built as ONE compiled program.
+        """Random-init state with zero XLA compiles.
 
-        Running the six module inits eagerly dispatches hundreds of tiny
-        ops, each of which XLA compiles separately — minutes on a slow
-        host with a cold compile cache. A single jitted program is one
-        compile. Runs on the host CPU backend: compiling even one program
-        on a remote TPU costs relay round trips (measured 383 s round 1).
-        """
-        try:
-            # local_devices: under jax.distributed the global cpu list
-            # includes other hosts' (non-addressable) devices
-            cpus = jax.local_devices(backend="cpu")
-        except RuntimeError:
-            cpus = []
-        if cpus:
-            with jax.default_device(cpus[0]):
-                return jax.jit(self._make_state)()
-        return jax.jit(self._make_state)()
+        Both eager flax init (hundreds of tiny programs) and a single
+        jitted init program cost minutes of compile on a cold-cache
+        single-core host (274 s / ~360 s measured); remote-TPU eager init
+        cost 383 s of relay round trips in round 1. numpy_init fills the
+        eval_shape skeleton with the same initializer distributions in
+        milliseconds; zeros are exactly optax.adam's fresh state."""
+        abstract = jax.eval_shape(self._make_state)
+        state = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                             abstract)
+        state["params"] = npinit.numpy_init(abstract["params"],
+                                            seed=self.cfg.seed)
+        return state
 
     def _init_state(self):
         # When a checkpoint will overwrite the state anyway (resume or
