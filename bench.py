@@ -81,6 +81,7 @@ def main():
     # packed first, then tries the rANS mask wire and keeps the faster one
     mask_wire_env = os.environ.get("PCGC_BENCH_MASKWIRE", "probe")
     mask_wire = "packed" if mask_wire_env == "probe" else mask_wire_env
+    vrn = os.environ.get("PCGC_BENCH_VRN", "xla")
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -97,7 +98,7 @@ def main():
     def make_codec(c, use_coder):
         return PointCloudCodec(mode="hyper", chunk=c, dtype=dtype,
                                coder=use_coder, ckpt_dir=ckpt,
-                               mask_wire=mask_wire)
+                               mask_wire=mask_wire, vrn=vrn)
 
     codec = make_codec(chunk, coder)
     nums = pre.points_numbers
@@ -157,7 +158,8 @@ def main():
         try:
             codec3 = PointCloudCodec(
                 mode="hyper", chunk=codec.chunk, dtype=dtype,
-                coder=codec.coder, ckpt_dir=ckpt, mask_wire="rans")
+                coder=codec.coder, ckpt_dir=ckpt, mask_wire="rans",
+                vrn=vrn)
             codec3.params = codec.params
             h3 = codec3.compress_hyper(pre)
             codec3.decompress_hyper_masks(h3, nums, 1.0)
