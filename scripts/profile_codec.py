@@ -53,11 +53,12 @@ def timed(label, fn, n=3, results=None):
 def main():
     ckpt = sys.argv[1] if len(sys.argv) > 1 else _release_ckpt()
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 48
-    print(f"ckpt={ckpt} chunk={chunk} devices={jax.devices()}")
+    vrn = sys.argv[3] if len(sys.argv) > 3 else "xla"
+    print(f"ckpt={ckpt} chunk={chunk} vrn={vrn} devices={jax.devices()}")
     pts = _workload()
     pre = pipeline.preprocess_points(pts, 1.0, 64, 64)
     codec = PointCloudCodec(mode="hyper", ckpt_dir=ckpt, chunk=chunk,
-                            dtype=jnp.bfloat16, coder="device")
+                            dtype=jnp.bfloat16, coder="device", vrn=vrn)
     b = len(pre.points_numbers)
     print(f"cubes={b} chunks={-(-b // chunk)}")
     r = {}
@@ -153,6 +154,27 @@ def main():
     np.asarray(packed)
     r["masks D2H"] = (time.perf_counter() - t0) * 1e3
     print(f"  {'masks D2H':<28s} {r['masks D2H']:8.1f} ms")
+
+    # ---- mask-wire alternative: device rANS coding of the packed bytes ----
+    from pcgcv1_tpu import native
+    menc = codec._jitted(f"maskenc:{n0}")
+    mw = timed("maskenc scan (mask wire)",
+               lambda: menc(codec.params, packed), results=r)
+    words_m, count_m, states_m, hist_m = mw
+    cnt = int(np.asarray(count_m))
+    t0 = time.perf_counter()
+    wm = np.asarray(jax.device_get(words_m[:cnt]))
+    sm = np.asarray(states_m)
+    hm = np.asarray(hist_m)
+    r["mask words D2H"] = (time.perf_counter() - t0) * 1e3
+    print(f"  {'mask words D2H':<28s} {r['mask words D2H']:8.1f} ms   "
+          f"({(2 * cnt + sm.nbytes + hm.nbytes) / 1e6:.2f} MB vs "
+          f"{np.asarray(packed).nbytes / 1e6:.2f} MB packed)")
+    t0 = time.perf_counter()
+    native.rans_mask_decode(wm, sm, hm, int(np.prod(packed.shape)))
+    r["mask host decode (C++)"] = (time.perf_counter() - t0) * 1e3
+    print(f"  {'mask host decode (C++)':<28s} "
+          f"{r['mask host decode (C++)']:8.1f} ms")
 
     ser_enc = (r.get("analysis+hyper", 0) + r.get("prior (int)",
                r.get("prior (float)", 0)) + r.get("rans encode scan", 0))
