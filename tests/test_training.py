@@ -286,3 +286,31 @@ class TestPrefetch:
     def test_order_preserved(self):
         from pcgcv1_tpu.training.data import prefetch
         assert list(prefetch(iter(range(20)))) == list(range(20))
+
+
+def test_numpy_init_matches_flax_distributions(tmp_path):
+    """npinit must produce the same initializer distributions as flax:
+    exact constants/zeros where flax is deterministic, matching moments
+    where it samples (utils/npinit.py)."""
+    from pcgcv1_tpu.utils import npinit
+    cfg = _tiny_cfg(tmp_path, "hyper")
+    tr = Trainer(cfg)  # random init -> numpy_init path
+    p = tr.state["params"]
+    # estimator constants: matrix_0 of filters (3,3,3), init_scale 8
+    k = 4
+    scale = 8.0 ** (1.0 / k)
+    want = float(np.log(np.expm1(1.0 / scale / 3)))
+    m0 = np.asarray(jax.tree.leaves(
+        {"m": p["estimator"]["matrix_0"]})[0])
+    assert np.allclose(m0, want)
+    assert np.all(np.asarray(p["estimator"]["factor_0"]) == 0.0)
+    b0 = np.asarray(p["estimator"]["bias_0"])
+    assert b0.min() >= -0.5 and b0.max() <= 0.5
+    # conv kernel: lecun_normal stats (std ~ sqrt(1/fan_in), truncated 2sd)
+    kern = np.asarray(p["analysis"]["conv_in"]["kernel"])
+    fan_in = int(np.prod(kern.shape[:-1]))
+    std = kern.std()
+    assert 0.7 / np.sqrt(fan_in) < std < 1.2 / np.sqrt(fan_in)
+    assert np.abs(kern).max() < 2.3 / np.sqrt(fan_in)
+    # conv bias zeros
+    assert np.all(np.asarray(p["analysis"]["conv_in"]["bias"]) == 0.0)
