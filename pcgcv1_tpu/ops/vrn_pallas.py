@@ -297,30 +297,29 @@ def _vrn_b_kernel(t1a_hbm, t2a_hbm, x_in, t12, t22, t23, b12, b22, b23,
 # reads an unaligned [dy:dy+rows] sublane window. v2 restructures both
 # stages (PERF_NOTES round-2 handoff #1):
 #
-# - the halo slab is DMA'd THREE times, once per dy tap, each copy
-#   pre-shifted by dy rows — all later reads are leading-dim (z-plane)
-#   slices, fully tile-aligned;
+# - the halo slab is DMA'd once (tile-aligned), then copied THREE times
+#   inside the kernel, each copy pre-shifted by one dy tap (HBM slices on
+#   the sublane dim must be 8-aligned, so the dy shift cannot ride the
+#   DMA; a VMEM shift-copy per dy replaces the ~tz*3*segments unaligned
+#   row-window reads of v1 with exactly three);
 # - all tz output planes of one grid step share each (dz, dy) dot: the
 #   LHS merges the z-planes into the dot M dimension ([tz*ya, K] @
 #   [K, 128]), so M grows from ~72 to tz*72+ and the 9 dots per segment
 #   run once per grid step instead of once per plane.
 
 def _vrn_a_kernel_v2(xp_hbm, t11, t21, b11, b21, t1a_out, t2a_out,
-                     s0, s1, s2, sems, *, tz, w_ext, c, ya_ext, la_ext,
-                     starts, ws):
+                     xslab, s0, s1, s2, sem, *, tz, w_ext, c, ya_ext,
+                     la_ext, starts, ws):
     """Grid (B, (W+2)//tz). Same math as _vrn_a_kernel; merged-M layout."""
     b = pl.program_id(0)
     i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(i * tz, tz + 2)], xslab, sem)
+    cp.start()
+    cp.wait()
     shifted = (s0, s1, s2)
     for dy in range(3):
-        cp = pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(i * tz, tz + 2),
-                      pl.ds(dy, ya_ext)], shifted[dy], sems.at[dy])
-        cp.start()
-    for dy in range(3):
-        pltpu.make_async_copy(
-            xp_hbm.at[b, pl.ds(i * tz, tz + 2),
-                      pl.ds(dy, ya_ext)], shifted[dy], sems.at[dy]).wait()
+        shifted[dy][:, :, :] = xslab[:, dy:dy + ya_ext, :]
     f32 = jnp.float32
     m = tz * ya_ext
     # ring + z masks over the merged [tz*ya_ext] row axis: row r belongs
@@ -354,25 +353,22 @@ def _vrn_a_kernel_v2(xp_hbm, t11, t21, b11, b21, t1a_out, t2a_out,
 
 
 def _vrn_b_kernel_v2(t1a_hbm, t2a_hbm, x_in, t12, t22, t23, b12, b22, b23,
-                     out, s1bufs, s2bufs, sems, *, tz, width, c,
-                     segs12, segs22, segs23):
+                     out, t1slab, t2slab, s1bufs, s2bufs, sems, *, tz,
+                     width, c, segs12, segs22, segs23):
     """Grid (B, W//tz). Same math as _vrn_b_kernel; merged-M layout."""
     b = pl.program_id(0)
     i = pl.program_id(1)
+    cp1 = pltpu.make_async_copy(
+        t1a_hbm.at[b, pl.ds(i * tz, tz + 2)], t1slab, sems.at[0])
+    cp2 = pltpu.make_async_copy(
+        t2a_hbm.at[b, pl.ds(i * tz, tz + 2)], t2slab, sems.at[1])
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
     for dy in range(3):
-        pltpu.make_async_copy(
-            t1a_hbm.at[b, pl.ds(i * tz, tz + 2), pl.ds(dy, width)],
-            s1bufs.at[dy], sems.at[dy]).start()
-        pltpu.make_async_copy(
-            t2a_hbm.at[b, pl.ds(i * tz, tz + 2), pl.ds(dy, width)],
-            s2bufs.at[dy], sems.at[3 + dy]).start()
-    for dy in range(3):
-        pltpu.make_async_copy(
-            t1a_hbm.at[b, pl.ds(i * tz, tz + 2), pl.ds(dy, width)],
-            s1bufs.at[dy], sems.at[dy]).wait()
-        pltpu.make_async_copy(
-            t2a_hbm.at[b, pl.ds(i * tz, tz + 2), pl.ds(dy, width)],
-            s2bufs.at[dy], sems.at[3 + dy]).wait()
+        s1bufs[dy] = t1slab[:, dy:dy + width, :]
+        s2bufs[dy] = t2slab[:, dy:dy + width, :]
     f32 = jnp.float32
     s12, ws12 = segs12
     s22, ws22 = segs22
@@ -455,8 +451,10 @@ def vrn_block_pallas(x, tables, interpret=False, variant="merged"):
             _vrn_a_kernel_v2, tz=tz_a, w_ext=w_ext, c=c, ya_ext=ya_ext,
             la_ext=la_ext, starts=tables["t11_starts"],
             ws=tables["t11"].shape[-2])
-        scratch_a = [pltpu.VMEM((tz_a + 2, ya_ext, la_in), dtype)
-                     for _ in range(3)] + [pltpu.SemaphoreType.DMA((3,))]
+        scratch_a = ([pltpu.VMEM((tz_a + 2, y_in, la_in), dtype)]
+                     + [pltpu.VMEM((tz_a + 2, ya_ext, la_in), dtype)
+                        for _ in range(3)]
+                     + [pltpu.SemaphoreType.DMA(())])
     else:
         kern_a = functools.partial(
             _vrn_a_kernel, tz=tz_a, w_ext=w_ext, c=c, ya_ext=ya_ext,
@@ -499,9 +497,11 @@ def vrn_block_pallas(x, tables, interpret=False, variant="merged"):
             segs22=(tables["t22_starts"], tables["t22"].shape[-2]),
             segs23=(tables["t23_starts"], tables["t23"].shape[-2]))
         scratch_b = [
+            pltpu.VMEM((tz_b + 2, ya_ext, la_ext), dtype),
+            pltpu.VMEM((tz_b + 2, ya_ext, la_ext), dtype),
             pltpu.VMEM((3, tz_b + 2, width, la_ext), dtype),
             pltpu.VMEM((3, tz_b + 2, width, la_ext), dtype),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ]
     else:
         kern_b = functools.partial(
