@@ -45,7 +45,9 @@ def test_two_process_distributed_training(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=900)
+        # generous: two subprocesses compile concurrently; on a contended
+        # single-core host (full suite + other jobs) 900 s has flaked
+        out, _ = p.communicate(timeout=2400)
         outs.append(out.decode(errors="replace"))
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-3000:]}"
