@@ -309,7 +309,8 @@ def cmd_report(args):
     out = args.out or os.path.join(args.eval_dir, "bdrate_bd.csv")
     df = report.run_report(args.eval_dir, out,
                            inputs_dir=args.inputs_dir or None,
-                           resolution=args.res)
+                           resolution=args.res,
+                           published_csv=args.published_csv or None)
     print(df.round(2))
     print(f"wrote {out}")
 
@@ -468,6 +469,10 @@ def main(argv=None):
                     help="directory of the original PLYs (enables anchor "
                          "curves)")
     pr.add_argument("--res", type=int, default=1024)
+    pr.add_argument("--published_csv", default="",
+                    help="reference's published BD-rate CSV to fold in as "
+                         "labeled context (default: auto-discover "
+                         "<eval_dir>/../reference_published/bdrates.csv)")
     pr.set_defaults(fn=cmd_report)
 
     pm = sub.add_parser("mesh2pc", help="mesh -> voxelized point cloud")

@@ -32,6 +32,46 @@ def test_load_rd_csv(tmp_path):
     assert curve2[0] == (0.1, 62.0)
 
 
+def test_published_context(tmp_path):
+    pub = pd.DataFrame({
+        "dataset": ["8iVFB", "8iVFB", "mvub"],
+        "sequence": ["longdress", "loot", "ricardo"],
+        "bdrate_vs_octree_d1": [-84.16, -83.62, -82.15],
+        "bdrate_vs_pcl_d1": [-91.95, -92.03, -89.89],
+    })
+    pub_csv = tmp_path / "bdrates.csv"
+    pub.to_csv(pub_csv, index=False)
+    anchor = {"seqA": _curve(0.2, 60)}
+    codec = {"seqA": [(r / 2, p) for r, p in anchor["seqA"]]}
+    df = report.bd_table(codec, {"octree": anchor})
+    out = report.write_published_context(
+        str(pub_csv), df, str(tmp_path / "ctx.md"))
+    text = open(out).read()
+    assert "NOT measured" in text
+    assert "8iVFB" in text and "mvub" in text
+    assert "seqA" in text
+    # per-dataset means, not raw rows
+    assert "-83.89" in text
+
+
+def test_run_report_autodiscovers_published(tmp_path):
+    eval_dir = tmp_path / "rd"
+    eval_dir.mkdir()
+    pd.DataFrame({
+        "bpp": [0.1, 0.2, 0.4],
+        "d1_psnr": [60.0, 65.0, 70.0],
+        "d2_psnr": [62.0, 67.0, 72.0],
+    }).to_csv(eval_dir / "seq.csv", index=False)
+    pubdir = tmp_path / "reference_published"
+    pubdir.mkdir()
+    pd.DataFrame({
+        "dataset": ["8iVFB"], "sequence": ["longdress"],
+        "bdrate_vs_octree_d1": [-84.16],
+    }).to_csv(pubdir / "bdrates.csv", index=False)
+    report.run_report(str(eval_dir), str(eval_dir / "bd.csv"))
+    assert (eval_dir / "bd_context.md").exists()
+
+
 def test_compare_plot(tmp_path):
     p = str(tmp_path / "c.png")
     report.compare_plot({"a": _curve(0.2, 60),
