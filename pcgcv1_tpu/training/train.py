@@ -173,7 +173,17 @@ class Trainer:
 
     def _restore(self):
         cfg = self.cfg
-        restored = ckpt_lib.restore(cfg.ckpt_dir, like=self.state)
+        try:
+            restored = ckpt_lib.restore(cfg.ckpt_dir, like=self.state)
+        except ValueError:
+            # Resuming under a different lr_schedule than the checkpoint
+            # was saved with changes the optax state *structure* (constant
+            # lr -> EmptyState, schedule -> ScaleByScheduleState), which
+            # the strict structural restore rejects. Fall back to a raw
+            # restore and graft what transfers: params, step, and the Adam
+            # moments (identical in both forms); the schedule state (a
+            # step count) is rebuilt from the restored step.
+            restored = self._restore_across_schedules()
         if restored is not None:
             self.state = restored
             return
@@ -219,6 +229,67 @@ class Trainer:
                 # fresh optimizer state for the mixed tree
                 self.state["opt_state"] = self.optimizer.init(
                     self.state["params"])
+
+    def _restore_across_schedules(self):
+        """Raw-restore the latest checkpoint and graft it into this
+        trainer's state structure, tolerating an optimizer-chain change.
+
+        Orbax's untargeted restore returns the pytree with namedtuples
+        flattened to dicts and tuples to lists; params/step map over
+        directly, and the Adam moments (opt_state[0]: count/mu/nu) have
+        the same fields under every lr form. Any schedule step-count
+        state in the new chain is seeded from the restored step so a
+        resumed cosine doesn't restart its warmup.
+        """
+        raw = ckpt_lib.restore(self.cfg.ckpt_dir)
+        if raw is None:
+            return None
+        state = self.state
+        step = np.asarray(raw["step"], state["step"].dtype)
+        params = jax.tree.map(np.asarray, raw["params"])
+        # host-only skeleton (zeros ARE adam's fresh state); materializing
+        # via optimizer.init would upload every param to the remote chip
+        abstract = jax.eval_shape(self.optimizer.init, params)
+        opt_state = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
+                                 abstract)
+        raw_opt = raw.get("opt_state", [])
+
+        def graft(slot, raw_slot):
+            fields = getattr(type(slot), "_fields", None)
+            if fields is None or not isinstance(raw_slot, dict):
+                return slot
+            vals = {}
+            for f in fields:
+                cur = getattr(slot, f)
+                if f == "count":
+                    vals[f] = np.asarray(raw_slot.get(f, step),
+                                         np.asarray(cur).dtype)
+                elif f in raw_slot and jax.tree.structure(
+                        jax.tree.map(np.shape, cur)) == jax.tree.structure(
+                        jax.tree.map(np.shape, raw_slot[f])):
+                    vals[f] = jax.tree.map(np.asarray, raw_slot[f])
+                else:
+                    return slot
+            return type(slot)(**vals)
+
+        grafted = []
+        for i, slot in enumerate(opt_state):
+            raw_slot = raw_opt[str(i)] if isinstance(raw_opt, dict) \
+                else (raw_opt[i] if i < len(raw_opt) else None)
+            fields = getattr(type(slot), "_fields", None)
+            if fields and "count" in fields and not isinstance(
+                    raw_slot, dict):
+                # schedule state absent from the checkpoint: seed its
+                # count from the restored step
+                grafted.append(slot._replace(count=np.asarray(
+                    step, np.asarray(slot.count).dtype)))
+            else:
+                grafted.append(graft(slot, raw_slot))
+        print(f"schedule-tolerant resume from {self.cfg.ckpt_dir} "
+              f"at step {int(step)}")
+        return {"params": params, "opt_state": type(opt_state)(grafted)
+                if not isinstance(opt_state, tuple) else tuple(grafted),
+                "step": step}
 
     def save(self):
         # multi-host: the state is fully replicated across processes (DP

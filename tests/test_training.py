@@ -126,6 +126,45 @@ class TestTrainer:
             jax.tree.leaves(tr.state["params"]["analysis"])[0])
         assert not np.array_equal(before, after)
 
+    def test_resume_across_lr_schedules(self, tmp_path):
+        """Resuming under a different lr_schedule than the checkpoint was
+        saved with changes the optax state structure (constant lr ->
+        EmptyState vs cosine -> a schedule step count); the trainer must
+        still resume, carrying over params, step, and the Adam moments
+        (round-2 extend script regression)."""
+        cfg = _tiny_cfg(tmp_path, lr_schedule="cosine", warmup_steps=2,
+                        num_iterations=20)
+        tr = Trainer(cfg)
+        ds = data.SyntheticCubeDataset(cube_size=16)
+        it = ds.batches(cfg.batch_size)
+        for _ in range(3):
+            tr.train_step(next(it))
+        tr.save()
+        cfg2 = _tiny_cfg(tmp_path, lr_schedule="constant",
+                         num_iterations=20)
+        tr2 = Trainer(cfg2)
+        assert int(tr2.state["step"]) == 3
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(tr.state["params"])[0]),
+            np.asarray(jax.tree.leaves(tr2.state["params"])[0]))
+        adam = tr2.state["opt_state"][0]
+        assert int(np.asarray(adam.count)) == 3
+        # Adam moments transferred, not re-zeroed
+        assert any(np.abs(np.asarray(m)).sum() > 0
+                   for m in jax.tree.leaves(adam.mu))
+        # training continues from the grafted state
+        loss = float(tr2.train_step(next(it))["loss"])
+        assert np.isfinite(loss)
+        # and the reverse direction (constant ckpt -> cosine resume)
+        # seeds the schedule count from the restored step
+        tr2.save()
+        cfg3 = _tiny_cfg(tmp_path, lr_schedule="cosine", warmup_steps=2,
+                         num_iterations=20)
+        tr3 = Trainer(cfg3)
+        assert int(tr3.state["step"]) == 4
+        sched = tr3.state["opt_state"][-1]
+        assert int(np.asarray(sched.count)) == 4
+
     def test_metrics_contents(self, tmp_path):
         tr = Trainer(_tiny_cfg(tmp_path))
         ds = data.SyntheticCubeDataset(cube_size=16)
