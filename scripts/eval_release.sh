@@ -59,5 +59,22 @@ python -m pcgcv1_tpu.cli eval \
   --rootdir artifacts/rd_release \
   --res 1024 --mode hyper --chunk 64 --dtype bfloat16 \
   ${EVAL_FLAGS:---search_rho}
+
+# Second release sequence: the held-out composite cloud from the corpus
+# generator's --eval_clouds split (in-domain held-out, the role 8iVFB test
+# sequences play for the reference; synth_vox10 is the domain-shifted
+# stress cloud). Separate INI so per-sequence optimal-rho caching doesn't
+# clobber the first sequence's winners.
+if [ -f artifacts/eval/eval_composite_vox10.ply ]; then
+  cp -f artifacts/eval/eval_composite_vox10.ply artifacts/composite_vox10.ply
+  [ -f artifacts/rd_release_composite.ini ] || \
+    cp artifacts/rd_release.ini artifacts/rd_release_composite.ini
+  python -m pcgcv1_tpu.cli eval \
+    --input artifacts/composite_vox10.ply \
+    --cfgdir artifacts/rd_release_composite.ini \
+    --rootdir artifacts/rd_release \
+    --res 1024 --mode hyper --chunk 64 --dtype bfloat16 \
+    ${EVAL_FLAGS_COMPOSITE-${EVAL_FLAGS:---search_rho}}
+fi
 echo "[eval done]"
 ls -la artifacts/rd_release/
