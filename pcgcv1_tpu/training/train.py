@@ -40,6 +40,19 @@ from pcgcv1_tpu.utils import checkpoint as ckpt_lib
 from pcgcv1_tpu.utils import npinit
 
 
+def _trees_shape_equal(a, b):
+    """True iff two pytrees have the same structure AND every pair of
+    leaves has the same shape (not just the same rank — a (1,) vs (N,)
+    moment would broadcast silently through Adam otherwise)."""
+    try:
+        if jax.tree.structure(a) != jax.tree.structure(b):
+            return False
+        return all(np.shape(x) == np.shape(y)
+                   for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+    except Exception:
+        return False
+
+
 @dataclasses.dataclass
 class TrainConfig:
     model: str = "voxception"
@@ -175,15 +188,17 @@ class Trainer:
         cfg = self.cfg
         try:
             restored = ckpt_lib.restore(cfg.ckpt_dir, like=self.state)
-        except ValueError:
+        except ValueError as strict_err:
             # Resuming under a different lr_schedule than the checkpoint
             # was saved with changes the optax state *structure* (constant
             # lr -> EmptyState, schedule -> ScaleByScheduleState), which
             # the strict structural restore rejects. Fall back to a raw
             # restore and graft what transfers: params, step, and the Adam
             # moments (identical in both forms); the schedule state (a
-            # step count) is rebuilt from the restored step.
-            restored = self._restore_across_schedules()
+            # step count) is rebuilt from the restored step. The graft path
+            # is ONLY for optimizer-chain changes: a params tree that does
+            # not match the current model re-raises the strict error.
+            restored = self._restore_across_schedules(strict_err)
         if restored is not None:
             self.state = restored
             return
@@ -230,7 +245,7 @@ class Trainer:
                 self.state["opt_state"] = self.optimizer.init(
                     self.state["params"])
 
-    def _restore_across_schedules(self):
+    def _restore_across_schedules(self, strict_err=None):
         """Raw-restore the latest checkpoint and graft it into this
         trainer's state structure, tolerating an optimizer-chain change.
 
@@ -240,6 +255,11 @@ class Trainer:
         the same fields under every lr form. Any schedule step-count
         state in the new chain is seeded from the restored step so a
         resumed cosine doesn't restart its warmup.
+
+        The checkpoint's params must match the current model exactly
+        (tree structure and every leaf shape); a mismatch means the
+        strict-restore failure was NOT a schedule change (wrong model /
+        mode / channel width) and the original error is re-raised.
         """
         raw = ckpt_lib.restore(self.cfg.ckpt_dir)
         if raw is None:
@@ -247,6 +267,23 @@ class Trainer:
         state = self.state
         step = np.asarray(raw["step"], state["step"].dtype)
         params = jax.tree.map(np.asarray, raw["params"])
+        cur_params = jax.eval_shape(self._make_state)["params"]
+        cur_shapes = jax.tree.map(lambda s: tuple(s.shape), cur_params)
+        try:
+            raw_shapes = jax.tree.map(lambda a: tuple(np.shape(a)), params)
+            shapes_ok = (jax.tree.structure(cur_shapes)
+                         == jax.tree.structure(raw_shapes)
+                         and jax.tree.leaves(cur_shapes)
+                         == jax.tree.leaves(raw_shapes))
+        except Exception:
+            shapes_ok = False
+        if not shapes_ok:
+            msg = (f"checkpoint in {self.cfg.ckpt_dir!r} has a params tree "
+                   "that does not match the current model (different model/"
+                   "mode/width?) — refusing the schedule-tolerant graft")
+            if strict_err is not None:
+                raise ValueError(msg) from strict_err
+            raise ValueError(msg)
         # host-only skeleton (zeros ARE adam's fresh state); materializing
         # via optimizer.init would upload every param to the remote chip
         abstract = jax.eval_shape(self.optimizer.init, params)
@@ -264,9 +301,7 @@ class Trainer:
                 if f == "count":
                     vals[f] = np.asarray(raw_slot.get(f, step),
                                          np.asarray(cur).dtype)
-                elif f in raw_slot and jax.tree.structure(
-                        jax.tree.map(np.shape, cur)) == jax.tree.structure(
-                        jax.tree.map(np.shape, raw_slot[f])):
+                elif f in raw_slot and _trees_shape_equal(cur, raw_slot[f]):
                     vals[f] = jax.tree.map(np.asarray, raw_slot[f])
                 else:
                     return slot
@@ -277,10 +312,12 @@ class Trainer:
             raw_slot = raw_opt[str(i)] if isinstance(raw_opt, dict) \
                 else (raw_opt[i] if i < len(raw_opt) else None)
             fields = getattr(type(slot), "_fields", None)
-            if fields and "count" in fields and not isinstance(
-                    raw_slot, dict):
-                # schedule state absent from the checkpoint: seed its
-                # count from the restored step
+            if fields == ("count",) and not isinstance(raw_slot, dict):
+                # schedule-only state (just a step counter) absent from the
+                # checkpoint: seed its count from the restored step. States
+                # with moments (e.g. ScaleByAdamState) must NOT take this
+                # branch — seeding count while mu/nu stay zero would make
+                # bias correction treat zero moments as converged.
                 grafted.append(slot._replace(count=np.asarray(
                     step, np.asarray(slot.count).dtype)))
             else:

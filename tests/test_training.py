@@ -165,6 +165,24 @@ class TestTrainer:
         sched = tr3.state["opt_state"][-1]
         assert int(np.asarray(sched.count)) == 4
 
+    def test_resume_wrong_model_raises(self, tmp_path):
+        """A checkpoint whose params tree doesn't match the current model
+        (e.g. resuming a factorized ckpt as hyper, or a different model)
+        must raise, not silently take the schedule-tolerant graft path
+        (ADVICE round 2: bare except routed ALL mismatches into it)."""
+        cfg = _tiny_cfg(tmp_path, "factorized", lr_schedule="cosine",
+                        warmup_steps=2, num_iterations=20)
+        tr = Trainer(cfg)
+        ds = data.SyntheticCubeDataset(cube_size=16)
+        tr.train_step(next(ds.batches(cfg.batch_size)))
+        tr.save()
+        # same ckpt_dir, different mode AND different lr schedule: the
+        # strict restore fails structurally, and the graft fallback must
+        # detect the params mismatch instead of adopting the wrong tree
+        cfg2 = _tiny_cfg(tmp_path, "hyper", num_iterations=20)
+        with pytest.raises(ValueError, match="does not match"):
+            Trainer(cfg2)
+
     def test_metrics_contents(self, tmp_path):
         tr = Trainer(_tiny_cfg(tmp_path))
         ds = data.SyntheticCubeDataset(cube_size=16)
