@@ -23,6 +23,8 @@ import argparse
 import configparser
 import os
 
+import numpy as np
+
 from pcgcv1_tpu import evalharness
 from pcgcv1_tpu.metrics import bdrate, bdsnr
 

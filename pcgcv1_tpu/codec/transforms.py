@@ -232,12 +232,17 @@ class PointCloudCodec:
         # cold-cache host — utils/npinit.py)
         return npinit.numpy_init(jax.eval_shape(make), seed=seed)
 
-    @staticmethod
-    def _pack_classify(logits, nums, rho):
+    def _pack_classify(self, logits, nums, rho):
         """rho-weighted adaptive top-k on device, output bit-packed
         (MSB-first, np.unpackbits order): 1 bit/voxel downloads."""
         b = logits.shape[0]
         flat = logits.reshape(b, -1)
+        if self._dtype == jnp.bfloat16:
+            # bf16-dtype models emit logits that are exactly bf16 values
+            # (synthesis upcasts its last bf16 conv to f32) — bisect the
+            # 16-bit key space instead of 32 zero-padded float32 bits;
+            # thresholds and >=-masks are identical (ops/topk.py)
+            flat = flat.astype(jnp.bfloat16)
         k = jnp.clip(jnp.floor(rho * nums.astype(jnp.float32)
                                ).astype(jnp.int32),
                      1, flat.shape[-1])
@@ -1154,6 +1159,23 @@ class PointCloudCodec:
                 lq, sq = qp(self.params, a_dev, zp)
             else:
                 lq, sq = prior(self.params, zp)
+            is_last = i + chunk >= b
+            if final == "classify" and is_last and n >= 16:
+                # tail split: the LAST chunk's mask download is the one
+                # transfer nothing overlaps — decode it as two half
+                # batches so the first half's D2H runs under the second
+                # half's synthesis (the chained rANS carry makes the
+                # split free; sub-batch programs are warmed by warmup())
+                n1 = (n + 1) // 2
+                for lo, hi in ((0, n1), (n1, n)):
+                    m = hi - lo
+                    fin = self._jitted(f"rans_{final}:{m}:{bits}")
+                    out, states, ptr = fin(
+                        self.params, words, states, ptr, ybase,
+                        lq[lo:] if lo else lq, sq[lo:] if lo else sq,
+                        *[a[lo:hi] for a in ex], *scalars)
+                    futs.append(self._fetch_packed(out))
+                continue
             fin = self._jitted(f"rans_{final}:{n}:{bits}")
             out, states, ptr = fin(self.params, words, states, ptr,
                                    ybase, lq, sq, *ex, *scalars)

@@ -29,24 +29,35 @@ import numpy as np
 def topk_threshold_bitwise(flat, k):
     """Exact per-row k-th-largest threshold without a sort.
 
-    Finds, for each row, the k-th largest float — the smallest t with
-    count(row >= t) >= k — by 32-step bisection on the monotone uint32
-    image of float32 (IEEE sign-flip trick). O(32 * n) vector compares
-    instead of an O(n log^2 n) on-device sort; thresholds (and therefore
-    the `>= t` masks) are bit-identical to the sort-based selector.
+    Finds, for each row, the k-th largest value — the smallest t with
+    count(row >= t) >= k — by bisection on the monotone unsigned-int
+    image of the float (IEEE sign-flip trick). O(bits * n) vector
+    compares instead of an O(n log^2 n) on-device sort; thresholds (and
+    therefore the `>= t` masks) are bit-identical to the sort-based
+    selector *in the input's own dtype*.
+
+    bfloat16 rows bisect the 16-bit key space directly (16 passes over
+    half the bytes instead of 32 over float32 — the decode hot path's
+    logits are bf16, and upcasting first just pads the key with 16 zero
+    mantissa bits that cost 16 extra full-array reduction passes).
 
     Args:
-      flat: float32 [B, N]; k: int32 [B] in [1, N].
-    Returns: float32 [B] thresholds.
+      flat: float32 or bfloat16 [B, N]; k: int32 [B] in [1, N].
+    Returns: thresholds [B] in the input dtype.
     """
-    bits = jax.lax.bitcast_convert_type(flat, jnp.uint32)
-    keys = jnp.where(bits >> 31 == 0,
-                     bits | jnp.uint32(0x80000000),
-                     ~bits).astype(jnp.uint32)
+    if flat.dtype == jnp.bfloat16:
+        uint, nbits, topbit, full = jnp.uint16, 16, 15, 0xFFFF
+    else:
+        flat = flat.astype(jnp.float32)
+        uint, nbits, topbit, full = jnp.uint32, 32, 31, 0xFFFFFFFF
+    bits = jax.lax.bitcast_convert_type(flat, uint)
+    keys = jnp.where(bits >> topbit == 0,
+                     bits | uint(1 << topbit),
+                     ~bits).astype(uint)
 
     b = flat.shape[0]
-    lo = jnp.zeros((b,), jnp.uint32)  # invariant: count(keys >= lo) >= k
-    hi = jnp.full((b,), 0xFFFFFFFF, jnp.uint32)
+    lo = jnp.zeros((b,), uint)  # invariant: count(keys >= lo) >= k
+    hi = jnp.full((b,), full, uint)
 
     def body(_, carry):
         lo, hi = carry
@@ -55,11 +66,10 @@ def topk_threshold_bitwise(flat, k):
         ok = cnt >= k
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid - 1)
 
-    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
-    restored = jnp.where(lo >> 31 != 0,
-                         lo & jnp.uint32(0x7FFFFFFF), ~lo)
-    return jax.lax.bitcast_convert_type(restored.astype(jnp.uint32),
-                                        jnp.float32)
+    lo, hi = jax.lax.fori_loop(0, nbits, body, (lo, hi))
+    restored = jnp.where(lo >> topbit != 0,
+                         lo & uint(full >> 1), ~lo).astype(uint)
+    return jax.lax.bitcast_convert_type(restored, flat.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=())

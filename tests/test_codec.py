@@ -238,6 +238,23 @@ class TestDeviceCoder:
         logits = codec.decompress_hyper(hs)
         np.testing.assert_array_equal(recon, logits)
 
+    def test_tail_split_and_bf16_classify(self, pre):
+        """The last chunk's classify runs as two half batches (tail-split
+        D2H overlap) and bf16-dtype codecs bisect the 16-bit key space —
+        both must reproduce the host-classified logits path exactly."""
+        import jax.numpy as jnp
+        codec = _codec("hyper", coder="device", lanes=8, chunk=24,
+                       dtype=jnp.bfloat16)
+        hs = codec.compress_hyper(pre.cubes)
+        b = pre.cubes.shape[0]
+        assert b % 24 >= 16 or b % 24 == 0  # last chunk takes the split path
+        masks = codec.decompress_hyper_masks(hs, pre.points_numbers, 1.0)
+        logits = codec.decompress_hyper(hs)
+        from pcgcv1_tpu.ops import select_voxels
+        ref = select_voxels(logits.astype(np.float32),
+                            pre.points_numbers, rho=1.0)
+        assert np.array_equal(masks.astype(np.float32), ref)
+
     def test_decode_adapts_to_encode_chunk(self, pre, tmp_path):
         """v2 streams record the encode chunk; a codec configured with a
         different chunk must still decode them (the shared prior program

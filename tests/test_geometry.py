@@ -155,3 +155,20 @@ def test_ply_vertex_count(tmp_path, cloud):
     f = str(tmp_path / "c.ply")
     ply.write_ply(f, cloud)
     assert ply_vertex_count(f) == len(cloud)
+
+
+def test_topk_threshold_bf16_matches_sort(rng):
+    """bf16 bisection path: threshold == k-th largest (sort semantics) in
+    bf16, including heavy ties (bf16 rounding collides values)."""
+    import jax.numpy as jnp
+    flat32 = rng.normal(size=(5, 4096)).astype(np.float32)
+    flat = jnp.asarray(flat32, jnp.bfloat16)
+    k = np.array([1, 7, 100, 2048, 4096], np.int32)
+    thres = np.asarray(topk.topk_threshold_bitwise(flat, jnp.asarray(k))
+                       .astype(jnp.float32))
+    rows = np.asarray(flat.astype(jnp.float32))
+    for b in range(5):
+        srt = np.sort(rows[b])[::-1]
+        assert thres[b] == srt[k[b] - 1]
+        # the >= mask selects at least k (ties may add more)
+        assert (rows[b] >= thres[b]).sum() >= k[b]
