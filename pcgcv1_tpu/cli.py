@@ -307,10 +307,15 @@ def cmd_info(args):
 def cmd_report(args):
     from pcgcv1_tpu import report
     out = args.out or os.path.join(args.eval_dir, "bdrate_bd.csv")
+    scales = (tuple(float(s) for s in args.anchor_scales.split(","))
+              if args.anchor_scales else None)
     df = report.run_report(args.eval_dir, out,
                            inputs_dir=args.inputs_dir or None,
                            resolution=args.res,
-                           published_csv=args.published_csv or None)
+                           published_csv=args.published_csv or None,
+                           anchor_scales=scales,
+                           anchor_shifts=tuple(
+                               int(s) for s in args.anchor_shifts.split(",")))
     print(df.round(2))
     print(f"wrote {out}")
 
@@ -473,6 +478,12 @@ def main(argv=None):
                     help="reference's published BD-rate CSV to fold in as "
                          "labeled context (default: auto-discover "
                          "<eval_dir>/../reference_published/bdrates.csv)")
+    pr.add_argument("--anchor_shifts", default="1,2,3,4",
+                    help="octree depth-truncation ladder (qscale=2^-k), "
+                         "the G-PCC-octree-style anchor")
+    pr.add_argument("--anchor_scales", default="",
+                    help="use a rescale-ladder anchor instead (round-2 "
+                         "behavior), e.g. '0.75,0.5,0.375,0.25'")
     pr.set_defaults(fn=cmd_report)
 
     pm = sub.add_parser("mesh2pc", help="mesh -> voxelized point cloud")

@@ -103,11 +103,16 @@ def write_published_context(published_csv, our_bd, out_md):
     return out_md
 
 
-def run_report(eval_dir, out_path, anchor_scales=(0.75, 0.5, 0.375, 0.25),
-               inputs_dir=None, resolution=1024, published_csv=None):
+def run_report(eval_dir, out_path, anchor_scales=None,
+               inputs_dir=None, resolution=1024, published_csv=None,
+               anchor_shifts=(1, 2, 3, 4)):
     """CLI driver: read all CSVs in eval_dir, compute octree-anchor curves
     for the matching input PLYs when available, emit BD-rate table (CSV)
-    and comparison plots."""
+    and comparison plots.
+
+    The anchor curve defaults to G-PCC-style octree depth truncation
+    (``anchor_shifts``; qscale = 2^-shift). Passing ``anchor_scales``
+    switches to the round-2 rescale ladder instead."""
     import glob
     import pandas as pd
     from pcgcv1_tpu.codec import anchors
@@ -128,7 +133,8 @@ def run_report(eval_dir, out_path, anchor_scales=(0.75, 0.5, 0.375, 0.25),
             if normals is None:
                 normals = estimate_normals(pts)
             rows = anchors.rd_curve(pts.astype(np.int64), normals,
-                                    resolution, scales=anchor_scales)
+                                    resolution, scales=anchor_scales,
+                                    shifts=anchor_shifts)
             anchor_curves["octree"][seq] = [
                 (r["bpp"], r["d1_psnr"]) for r in rows]
             compare_plot(

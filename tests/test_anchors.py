@@ -52,3 +52,44 @@ def test_bdrate_against_anchor(surface_cloud):
     anchor = [(r["bpp"], r["d1_psnr"]) for r in rows]
     better = [(bpp * 0.5, psnr) for bpp, psnr in anchor]
     assert abs(bdrate(anchor, better) - (-50.0)) < 1.0
+
+
+def test_depth_truncation_roundtrip(surface_cloud):
+    """shift=k reconstructs voxel centers: max per-axis error 2^(k-1)."""
+    for k in (1, 2, 3):
+        blob = anchors.encode(surface_cloud, shift=k)
+        rec = anchors.decode(blob)
+        # every reconstructed point is the center of an occupied 2^k node
+        q = np.unique(surface_cloud.astype(np.int64) >> k, axis=0)
+        centers = q * (1 << k) + (1 << k) / 2.0
+        assert rec.shape == centers.shape
+        assert np.array_equal(
+            np.sort(rec.view(np.float64).reshape(-1, 3), axis=0),
+            np.sort(centers, axis=0))
+
+
+def test_depth_truncation_rate_monotone(surface_cloud):
+    """Deeper truncation = fewer bits; bpp strictly decreasing in shift."""
+    sizes = [len(anchors.encode(surface_cloud, shift=k)) for k in (0, 1, 2, 3)]
+    assert sizes[0] > sizes[1] > sizes[2] > sizes[3]
+
+
+def test_rd_curve_depth_mode(surface_cloud):
+    """Default rd_curve (depth mode) is monotone in rate and quality."""
+    from pcgcv1_tpu.metrics import estimate_normals
+    normals = estimate_normals(surface_cloud)
+    rows = anchors.rd_curve(surface_cloud, normals, 512, shifts=(1, 2, 3))
+    bpps = [r["bpp"] for r in rows]
+    psnrs = [r["d1_psnr"] for r in rows]
+    assert bpps[0] > bpps[1] > bpps[2]
+    assert psnrs[0] > psnrs[1] > psnrs[2]
+    assert all(np.isfinite(p) for p in psnrs)
+
+
+def test_legacy_v3_stream_decodes(surface_cloud):
+    """Round-2 (v3, no shift byte) anchor streams still decode."""
+    blob = anchors.encode(surface_cloud)
+    legacy = bytes([3]) + blob[1:2] + blob[3:]  # drop the shift byte
+    rec = anchors.decode(legacy)
+    assert np.array_equal(np.sort(rec.astype(np.int64), axis=0),
+                          np.sort(surface_cloud, axis=0))
