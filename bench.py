@@ -71,10 +71,10 @@ def main():
     from pcgcv1_tpu.codec import pipeline
     from pcgcv1_tpu.codec.transforms import PointCloudCodec
 
-    # chunk 48: the ~200-cube vox10 workload splits into near-exact chunks
-    # (no tail padding) and the 3-stage pipeline overlaps best; measured
-    # 93 / 130 / 106 cubes/s at 32 / 48 / 64 on a v5e chip
-    chunk = int(os.environ.get("PCGC_BENCH_CHUNK", "48"))
+    # chunk 96: round-3 sweep over {48, 72, 96, 144} on the v5e chip:
+    # best encode AND decode medians (enc 274, dec 261 c/s; 48 was the
+    # round-2 winner at 209/212 before the bf16 top-k + tail-split work)
+    chunk = int(os.environ.get("PCGC_BENCH_CHUNK", "96"))
     dtype_name = os.environ.get("PCGC_BENCH_DTYPE", "bfloat16")
     coder = os.environ.get("PCGC_BENCH_CODER", "device")
     # "packed" | "rans" pins the mask transport; "probe" (default) measures
@@ -140,7 +140,7 @@ def main():
     # the resolved coder so the host-coder fallback carries over, and keep
     # the probe non-fatal — the headline must still print
     try:
-        alt = 64 if chunk == 48 else 48
+        alt = 72 if chunk == 96 else 96
         codec2 = make_codec(alt, codec.coder)
         codec2.params = codec.params
         h2 = codec2.compress_hyper(pre)

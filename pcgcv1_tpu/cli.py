@@ -225,6 +225,8 @@ def cmd_train(args):
         num_iterations=int(args.num_iteration),
         scale_lower_bound=args.lower_bound, ckpt_dir=ckpt_dir,
         quant=args.quant,
+        eb_init_scale=args.eb_init_scale,
+        latent_gain=args.latent_gain,
         save_every=args.save_every,
         init_ckpt_dir=args.init_ckpt_dir,
         reset_optimizer=bool(args.reset_optimizer),
@@ -400,6 +402,15 @@ def main(argv=None):
     pt.add_argument("--init_ckpt_dir", default="")
     pt.add_argument("--reset_optimizer", type=int, default=0)
     pt.add_argument("--lower_bound", type=float, default=1e-9)
+    pt.add_argument("--latent_gain", type=float, default=1.0,
+                    help="cross-mode warm start only: scale analysis "
+                         "output by g, synthesis input by 1/g (exact "
+                         "reparameterization; makes hyper-trained latents "
+                         "survive integer quantization from step 0)")
+    pt.add_argument("--eb_init_scale", type=float, default=8.0,
+                    help="factorized density init support half-width; "
+                         "set ~4x latent std when warm-starting from a "
+                         "trained hyper checkpoint")
     pt.add_argument("--quant", default="noise", choices=["noise", "ste"],
                     help="training quantization: 'noise' = the reference's "
                          "uniform-noise relaxation; 'ste' = straight-"

@@ -47,6 +47,7 @@ device.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,10 @@ TOTAL = 1 << PRECISION          # CDF denominator
 RANS_L = jnp.uint32(1 << 16)    # lower bound of the state interval
 N_SYMBOLS = 256                 # Laplace support: symbol s in [-128, 127]
 DEFAULT_LANES = 1024            # total interleaved lanes per workload
+# scan-body unroll: the per-step work is a few lane-wide vector ops, so
+# loop overhead dominates a thousands-step scan; unrolling batches it
+# without changing the coded stream (sequential semantics preserved)
+SCAN_UNROLL = int(os.environ.get("PCGC_RANS_UNROLL", "8"))
 
 # log2(e) * 2^20 * 2^(-qf/8), qf in [0,8) — folds the fractional octave of
 # the scale code into the Q20 multiplier (v = |8d| * M >> (3 + qi) is then
@@ -237,7 +242,8 @@ def _encode_scan(u_ts, step_inputs, enc_fn, states, cap):
         return x2, (word, flag)
 
     states, (words, flags) = jax.lax.scan(
-        step, states, (u_ts,) + step_inputs, reverse=True)
+        step, states, (u_ts,) + step_inputs, reverse=True,
+        unroll=SCAN_UNROLL)
     wf = words.reshape(t * lanes)
     ff = flags.reshape(t * lanes)
     pos = jnp.cumsum(ff) - ff.astype(jnp.int32)
@@ -269,7 +275,7 @@ def _decode_scan(words, states, ptr, step_inputs, dec_fn, t):
         return (x2, p + flag.sum(dtype=jnp.int32)), u
 
     (states, ptr), us = jax.lax.scan(step, (states, ptr), step_inputs,
-                                     length=t)
+                                     length=t, unroll=SCAN_UNROLL)
     return us, states, ptr
 
 

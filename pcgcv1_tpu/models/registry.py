@@ -25,6 +25,10 @@ class ModelFamily:
     latent_channels: int
     hyper_channels: Optional[int]
     down_factor: int  # spatial downsampling of the analysis transform
+    # (analysis's latent-producing layer, synthesis's latent-consuming
+    # layer): both linear in the latent, so scaling one by g and the other
+    # by 1/g is an exact reparameterization (training latent_gain knob)
+    latent_io: tuple = ("conv_out", "deconv_in")
 
     def make(self, dtype=jnp.float32, hyper=False, remat=False):
         """Instantiate flax modules; returns dict of modules.
@@ -68,6 +72,7 @@ _REGISTRY = {
         latent_channels=32,
         hyper_channels=None,
         down_factor=8,
+        latent_io=("conv_3", "deconv_1"),
     ),
 }
 

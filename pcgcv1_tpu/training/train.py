@@ -77,6 +77,16 @@ class TrainConfig:
     max_failures: int = 5              # transient-failure recovery budget
     eval_samples: int = 256
     quant: str = "noise"               # "noise" | "ste" (see _forward)
+    # initial half-width of the factorized density's support. 8 suits
+    # from-scratch runs (latents grow with the density); warm-started
+    # factorized runs inherit transforms whose latents already span
+    # O(100), and a too-narrow init spends thousands of steps stretching
+    # (round 2: bpp 102 -> 67 over 2.3k steps). Size it ~4x the measured
+    # latent std of the init checkpoint.
+    eb_init_scale: float = 8.0
+    # warm-start latent reparameterization (partial cross-mode warm starts
+    # only): scale analysis output by g and synthesis input by 1/g.
+    latent_gain: float = 1.0
     dtype: Any = jnp.float32
     seed: int = 0
 
@@ -90,7 +100,8 @@ class Trainer:
                                      remat=True)
         bottleneck_channels = (self.family.hyper_channels if self.hyper
                                else self.family.latent_channels)
-        self.estimator = FactorizedEntropy(channels=bottleneck_channels)
+        self.estimator = FactorizedEntropy(
+            channels=bottleneck_channels, init_scale=cfg.eb_init_scale)
         self.mesh = mesh
         # The reference ships lr=1e-5 x 3e5 steps (train_hyper.py:50) but
         # its earlier recipe was exponential_decay(1e-4, 20k, 0.75)
@@ -166,8 +177,9 @@ class Trainer:
         abstract = jax.eval_shape(self._make_state)
         state = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
                              abstract)
-        state["params"] = npinit.numpy_init(abstract["params"],
-                                            seed=self.cfg.seed)
+        state["params"] = npinit.numpy_init(
+            abstract["params"], seed=self.cfg.seed,
+            est_init_scale=self.cfg.eb_init_scale)
         return state
 
     def _init_state(self):
@@ -182,7 +194,36 @@ class Trainer:
             abstract = jax.eval_shape(self._make_state)
             return jax.tree.map(lambda s: np.zeros(s.shape, s.dtype),
                                 abstract)
-        return self._materialize_state()
+        state = self._materialize_state()
+        self.state = state
+        self._apply_latent_gain()  # fresh init: reparameterize once
+        return state
+
+    def _apply_latent_gain(self):
+        """Exact latent reparameterization: y' = g*y, synthesis/g.
+
+        Reconstruction is unchanged but round(y') resolves the latent
+        structure immediately. Hyper-trained latents are tiny (std
+        ~0.06-0.2 — the conditional prior handles sub-integer scales) and
+        fresh-init latents are similar; either would quantize to
+        all-zeros at the start of a factorized run, blowing up the rate
+        term while the transforms slowly grow them (round 2: 100+ bpp
+        starts, ~15 bpp/1k-step recovery). Applied ONCE per run: at
+        partial cross-mode warm start or at fresh init — never on resume
+        (the scaled weights are already in the checkpoint).
+        """
+        g = float(self.cfg.latent_gain)
+        if not g or g == 1.0:
+            return
+        a_name, s_name = self.family.latent_io
+        pa = self.state["params"]["analysis"][a_name]
+        pa["kernel"] = pa["kernel"] * g
+        if "bias" in pa:
+            pa["bias"] = pa["bias"] * g
+        ps = self.state["params"]["synthesis"][s_name]
+        ps["kernel"] = ps["kernel"] * (1.0 / g)
+        print(f"latent gain {g}x applied (analysis/{a_name} * g, "
+              f"synthesis/{s_name} / g)")
 
     def _restore(self):
         cfg = self.cfg
@@ -241,6 +282,8 @@ class Trainer:
                         copied.append(name)
                 print(f"partial warm start from {cfg.init_ckpt_dir}: "
                       f"copied {copied}")
+                if "analysis" in copied and "synthesis" in copied:
+                    self._apply_latent_gain()
                 # fresh optimizer state for the mixed tree
                 self.state["opt_state"] = self.optimizer.init(
                     self.state["params"])
