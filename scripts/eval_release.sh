@@ -1,20 +1,26 @@
 #!/usr/bin/env bash
-# End-of-round R-D artifact: sweep the release (round-2 ladder) checkpoints
-# over the bench-scale synthetic vox10 cloud; store CSV + plot in artifacts/.
-# (No test corpus ships with either repo; the synthetic surface cloud is
-# the reproducible stand-in — the harness itself is the reference's
-# eval.py equivalent and runs unchanged on real 8iVFB files.)
+# End-of-round R-D artifact: sweep the release ladder over three vox10
+# sequences; store CSVs + plots in artifacts/rd_release/.
+#
+#   synth_vox10      bench-scale procedural surface (domain-shifted)
+#   composite_vox10  held-out mesh-sampled composite (in-domain held-out)
+#   revolution_vox10 held-out mesh-sampled surface of revolution — the
+#                    third sequence (VERDICT r2 next-round item 5); all
+#                    held-out clouds come from datagen's mesh pipeline,
+#                    the closest in-env analogue to 8iVFB scans.
 #
 # With --search_rho the harness sweeps rho per rate point and caches the
-# winners into the INI in place (reference eval_ablation_studies.py:152-205),
-# then evaluates at rho_d1/rho_d2 — the release CSV shows rho!=1 rows.
+# winners into the INI in place (reference eval_ablation_studies.py:152-205).
+# Per-sequence INIs are REGENERATED from the current ladder each run
+# (round-2 bug: a stale composite INI silently evaluated an old ladder);
+# cached rho values are preserved for sections whose (scale, ckpt_dir)
+# still match.
 set -eu
 cd "$(dirname "$0")/.."
 
 # Rounding-aware (STE) fine-tune of the lowest-rate rung before the sweep:
-# at alpha=0.75 the noise relaxation collapses under real rounding
-# (eval IoU 0.27 vs train 0.55 in its train_log); a short --quant ste
-# pass matches train-time to decode-time. Skipped once done (step file).
+# at alpha=0.75 the noise relaxation collapses under real rounding. Set
+# SKIP_STE_FT=1 once done.
 if [ "${SKIP_STE_FT:-0}" != "1" ]; then
   echo "[eval_release] STE fine-tune of r2_a0.75b3"
   timeout 4500 python -m pcgcv1_tpu.cli train \
@@ -30,51 +36,71 @@ from bench import _workload
 from pcgcv1_tpu.ops import write_ply
 import os
 os.makedirs("artifacts", exist_ok=True)
-pts = _workload()
-write_ply("artifacts/synth_vox10.ply", pts)
-print("cloud:", len(pts), "points")
+if not os.path.exists("artifacts/synth_vox10.ply"):
+    write_ply("artifacts/synth_vox10.ply", _workload())
 PY
 
 python - <<'PY'
+import configparser, os, shutil
 from pcgcv1_tpu.ablation import variant_config
-import os
-# rate ladder low->high bpp: alpha 0.75, 2, 6, 16 (reference alphas,
-# eval_ablation_studies.py:71-77) plus the reference's extra low-rate
-# point (lowest-rate checkpoint at scale 5/8); fall back to round-1
-# ckpts if a rung hasn't finished training
+
 ladder = ["checkpoints/r2_a0.75b3", "checkpoints/r2_a2b3",
           "checkpoints/r2_a6b3", "checkpoints/r2_a16b3"]
 cks = [d for d in ladder if os.path.isdir(d)
        and any(x.startswith("ckpt") for x in os.listdir(d))]
-if not cks:
-    cks = [d for d in ("checkpoints/hyper_a2b3", "checkpoints/hyper_a6b3",
-                       "checkpoints/hyper_a12b3") if os.path.isdir(d)]
-variant_config("artifacts/rd_release.ini", cks, extra_scales=(0.625,))
-print("rate points:", cks, "+ scale 0.625 low point")
+
+# held-out sequences from the corpus generator's --eval_clouds split
+for src, dst in (("eval_composite_vox10", "composite_vox10"),
+                 ("eval_revolution_vox10", "revolution_vox10")):
+    p = f"artifacts/eval/{src}.ply"
+    if os.path.exists(p):
+        shutil.copyfile(p, f"artifacts/{dst}.ply")
+
+def regen(path):
+    """Rebuild the rate-ladder INI, keeping cached rho winners for
+    sections whose (scale, ckpt_dir) are unchanged."""
+    old = configparser.ConfigParser()
+    if os.path.exists(path):
+        old.read(path)
+    variant_config(path, cks, extra_scales=(0.5, 0.625))
+    new = configparser.ConfigParser()
+    new.read(path)
+    kept = 0
+    for sec in new.sections():
+        if (old.has_section(sec)
+                and old[sec].get("scale") == new[sec].get("scale")
+                and old[sec].get("ckpt_dir") == new[sec].get("ckpt_dir")):
+            for k in ("rho_d1", "rho_d2"):
+                if old[sec].get(k):
+                    new[sec][k] = old[sec][k]
+                    kept += 1
+    with open(path, "w") as f:
+        new.write(f)
+    print(f"{path}: {len(new.sections())} rate points, "
+          f"{kept} cached rho values preserved")
+
+for ini in ("artifacts/rd_release.ini",
+            "artifacts/rd_release_composite.ini",
+            "artifacts/rd_release_revolution.ini"):
+    regen(ini)
 PY
 
-python -m pcgcv1_tpu.cli eval \
-  --input artifacts/synth_vox10.ply \
-  --cfgdir artifacts/rd_release.ini \
-  --rootdir artifacts/rd_release \
-  --res 1024 --mode hyper --chunk 64 --dtype bfloat16 \
-  ${EVAL_FLAGS:---search_rho}
-
-# Second release sequence: the held-out composite cloud from the corpus
-# generator's --eval_clouds split (in-domain held-out, the role 8iVFB test
-# sequences play for the reference; synth_vox10 is the domain-shifted
-# stress cloud). Separate INI so per-sequence optimal-rho caching doesn't
-# clobber the first sequence's winners.
-if [ -f artifacts/eval/eval_composite_vox10.ply ]; then
-  cp -f artifacts/eval/eval_composite_vox10.ply artifacts/composite_vox10.ply
-  [ -f artifacts/rd_release_composite.ini ] || \
-    cp artifacts/rd_release.ini artifacts/rd_release_composite.ini
+run_eval() { # input ini extra-flags...
+  local input=$1 ini=$2
+  shift 2
   python -m pcgcv1_tpu.cli eval \
-    --input artifacts/composite_vox10.ply \
-    --cfgdir artifacts/rd_release_composite.ini \
-    --rootdir artifacts/rd_release \
-    --res 1024 --mode hyper --chunk 64 --dtype bfloat16 \
+    --input "$input" --cfgdir "$ini" --rootdir artifacts/rd_release \
+    --res 1024 --mode hyper --chunk 96 --dtype bfloat16 "$@"
+}
+
+run_eval artifacts/synth_vox10.ply artifacts/rd_release.ini \
+  ${EVAL_FLAGS:---search_rho}
+[ -f artifacts/composite_vox10.ply ] && \
+  run_eval artifacts/composite_vox10.ply artifacts/rd_release_composite.ini \
     ${EVAL_FLAGS_COMPOSITE-${EVAL_FLAGS:---search_rho}}
-fi
+[ -f artifacts/revolution_vox10.ply ] && \
+  run_eval artifacts/revolution_vox10.ply artifacts/rd_release_revolution.ini \
+    ${EVAL_FLAGS_REVOLUTION-${EVAL_FLAGS:---search_rho}}
+
 echo "[eval done]"
 ls -la artifacts/rd_release/
