@@ -226,6 +226,7 @@ def cmd_train(args):
         scale_lower_bound=args.lower_bound, ckpt_dir=ckpt_dir,
         quant=args.quant,
         eb_init_scale=args.eb_init_scale,
+        est_lr=args.est_lr,
         latent_gain=args.latent_gain,
         save_every=args.save_every,
         init_ckpt_dir=args.init_ckpt_dir,
@@ -402,6 +403,9 @@ def main(argv=None):
     pt.add_argument("--init_ckpt_dir", default="")
     pt.add_argument("--reset_optimizer", type=int, default=0)
     pt.add_argument("--lower_bound", type=float, default=1e-9)
+    pt.add_argument("--est_lr", type=float, default=0.0,
+                    help="separate Adam lr for the factorized density "
+                         "(0 = share the main optimizer)")
     pt.add_argument("--latent_gain", type=float, default=1.0,
                     help="cross-mode warm start only: scale analysis "
                          "output by g, synthesis input by 1/g (exact "

@@ -84,6 +84,9 @@ class TrainConfig:
     # (round 2: bpp 102 -> 67 over 2.3k steps). Size it ~4x the measured
     # latent std of the init checkpoint.
     eb_init_scale: float = 8.0
+    # separate (faster) Adam lr for the factorized density parameters;
+    # 0 = share the main optimizer (reference behavior)
+    est_lr: float = 0.0
     # warm-start latent reparameterization (partial cross-mode warm starts
     # only): scale analysis output by g and synthesis input by 1/g.
     latent_gain: float = 1.0
@@ -115,7 +118,21 @@ class Trainer:
                 end_value=cfg.lr_final)
         else:
             lr = cfg.lr
-        self.optimizer = optax.adam(lr)
+        if cfg.est_lr:
+            # the factorized density is a tiny monotone 1D model whose
+            # only job is to track the (fixed-ish) latent histogram; at
+            # the transform lr it takes tens of thousands of steps to
+            # concentrate p(0) from its ~uniform init to its ~0.99
+            # equilibrium (3 bits/element of dead rate, ~40+ bpp). A
+            # separate fast Adam on just the estimator closes that in
+            # hundreds of steps without touching transform dynamics.
+            self.optimizer = optax.multi_transform(
+                {"main": optax.adam(lr), "est": optax.adam(cfg.est_lr)},
+                param_labels=lambda params: {
+                    k: ("est" if k == "estimator" else "main")
+                    for k in params})
+        else:
+            self.optimizer = optax.adam(lr)
         self.state = self._init_state()
         self._restore()
         # host-side mirror of state["step"]: reading the device scalar

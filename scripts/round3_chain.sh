@@ -38,7 +38,7 @@ stage() { # name est-seconds timeout-seconds cmd...
 
 common=(--data "data/corpus/*.npz" --mode factorized --batch_size 32
         --dtype bfloat16 --save_every 500 --cube_size 64 --beta 3
-        --lr_schedule cosine --lr 1e-4 --eb_init_scale 4)
+        --lr_schedule cosine --lr 1e-4 --eb_init_scale 4 --est_lr 5e-3)
 
 {
   stage F1_fact_a16 900 3300 python -m pcgcv1_tpu.cli train \
