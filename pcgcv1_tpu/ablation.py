@@ -149,9 +149,12 @@ def run_ablations(args):
         cube_size = cs or args.cube_size
         # keep the partition density comparable across cube sizes: the
         # reference keeps min_num=64 for every variant
+        extra = tuple(float(s) for s in getattr(
+            args, "extra_scales", "").split(",") if s)
         cfg = variant_config(
             os.path.join(args.out, name + ".ini"), cks,
-            cube_size=cube_size, min_num=args.min_num, fixed_thres=fixed)
+            cube_size=cube_size, min_num=args.min_num, fixed_thres=fixed,
+            extra_scales=extra)
         # constant voxels-per-chunk across cube sizes (a 128^3 cube is 8x
         # the volume of a 64^3 one; a fixed cube count would blow HBM)
         chunk = max(1, int(args.chunk * (args.cube_size / cube_size) ** 3))

@@ -56,6 +56,11 @@ def _add_codec_flags(p):
                    help="VRN block implementation: 'xla' = native conv "
                         "lowering; 'pallas' = banded block-Toeplitz MXU "
                         "kernels (ops/vrn_pallas.py, voxception family)")
+    p.add_argument("--deconv", default="xla", choices=["xla", "poly"],
+                   help="synthesis upsampling lowering: 'xla' = "
+                        "ConvTranspose; 'poly' = polyphase sub-pixel "
+                        "conv (models/subpixel.py) — same function and "
+                        "parameters, MXU-friendly shapes")
     p.add_argument("--mask_wire", default="packed",
                    choices=["packed", "rans"],
                    help="decode-side mask download transport: 'packed' = "
@@ -75,7 +80,8 @@ def _make_codec(args):
         cube_size=args.cube_size, coder=getattr(args, "coder", "host"),
         prior=getattr(args, "prior", "float"),
         vrn=getattr(args, "vrn", "xla"),
-        mask_wire=getattr(args, "mask_wire", "packed"))
+        mask_wire=getattr(args, "mask_wire", "packed"),
+        deconv=getattr(args, "deconv", "xla"))
 
 
 def cmd_compress(args):
@@ -443,6 +449,9 @@ def main(argv=None):
     pe.add_argument("--chunk", type=int, default=64)
     pe.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
+    pe.add_argument("--tag", default="",
+                    help="suffix for the output CSV/plot basename (two "
+                         "modes over the same input don't collide)")
     pe.add_argument("--search_rho", action="store_true",
                     help="search optimal rho_d1/rho_d2 per rate point and "
                          "cache the winners into the INI in place "
@@ -462,6 +471,11 @@ def main(argv=None):
     pa.add_argument("--cube_size", type=int, default=64)
     pa.add_argument("--min_num", type=int, default=64)
     pa.add_argument("--chunk", type=int, default=64)
+    pa.add_argument("--extra_scales", default="0.625",
+                    help="comma-separated extra low-rate points coded at "
+                         "positional scale s with each ladder's lowest-"
+                         "rate checkpoint (reference "
+                         "eval_ablation_studies.py scale-5/8 trick)")
     pa.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     pa.add_argument("--search_rho", action="store_true")

@@ -120,7 +120,8 @@ class PointCloudCodec:
     def __init__(self, model="voxception", mode="hyper", ckpt_dir=None,
                  dtype=jnp.float32, chunk=64, cube_size=64, mesh=None,
                  seed=0, coder="host", lanes=rans.DEFAULT_LANES,
-                 prior="float", vrn="xla", mask_wire="packed"):
+                 prior="float", vrn="xla", mask_wire="packed",
+                 deconv="xla"):
         if mode not in ("hyper", "factorized"):
             raise ValueError(f"unknown mode {mode!r}")
         if coder not in ("host", "device"):
@@ -131,6 +132,8 @@ class PointCloudCodec:
             raise ValueError(f"unknown mask_wire {mask_wire!r}")
         if vrn not in ("xla", "pallas"):
             raise ValueError(f"unknown vrn impl {vrn!r}")
+        if deconv not in ("xla", "poly"):
+            raise ValueError(f"unknown deconv impl {deconv!r}")
         if vrn == "pallas" and get_model(model).name != "voxception":
             raise ValueError("vrn='pallas' (banded block-Toeplitz VRN "
                              "kernels, ops/vrn_pallas.py) applies to the "
@@ -155,7 +158,9 @@ class PointCloudCodec:
         self.chunk = int(chunk)
         self.cube_size = int(cube_size)
         self.mesh = mesh
-        self.modules = self.family.make(dtype=dtype, hyper=self.hyper)
+        self.deconv = deconv
+        self.modules = self.family.make(dtype=dtype, hyper=self.hyper,
+                                        deconv=deconv)
         f = self.family.down_factor
         self._y_spatial = (self.cube_size // f,) * 3 + (
             self.family.latent_channels,)

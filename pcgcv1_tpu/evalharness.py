@@ -285,6 +285,8 @@ def run_eval(args):
                             "t_encode", "t_decode")})
         df = pd.DataFrame(rows)
         base = os.path.splitext(os.path.basename(input_file))[0]
+        if getattr(args, "tag", ""):
+            base = f"{base}_{args.tag}"
         csv_path = os.path.join(args.rootdir, base + ".csv")
         df.to_csv(csv_path, index=False)
         if "bpp" in df:

@@ -30,18 +30,26 @@ class ModelFamily:
     # by 1/g is an exact reparameterization (training latent_gain knob)
     latent_io: tuple = ("conv_out", "deconv_in")
 
-    def make(self, dtype=jnp.float32, hyper=False, remat=False):
+    def make(self, dtype=jnp.float32, hyper=False, remat=False,
+             deconv="xla"):
         """Instantiate flax modules; returns dict of modules.
 
         remat=True rematerializes block activations in the backward pass
         (training-memory knob; families without remat support ignore it).
+        deconv selects the upsampling lowering ("xla" | "poly", see
+        models/subpixel.py) for families that support it; the parameter
+        tree is identical either way.
         """
         kw = {}
         if remat and "remat" in self.analysis.__dataclass_fields__:
             kw["remat"] = True
+        skw = dict(kw)
+        if deconv != "xla" and \
+                "deconv" in self.synthesis.__dataclass_fields__:
+            skw["deconv"] = deconv
         mods = {
             "analysis": self.analysis(dtype=dtype, **kw),
-            "synthesis": self.synthesis(dtype=dtype, **kw),
+            "synthesis": self.synthesis(dtype=dtype, **skw),
         }
         if hyper:
             if self.hyper_encoder is None:

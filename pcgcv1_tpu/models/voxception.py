@@ -20,6 +20,8 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from pcgcv1_tpu.models import subpixel
+
 
 class VRNBlock(nn.Module):
     """Two-path Voxception-ResNet block (reference `model_voxception.py:11-68`).
@@ -89,28 +91,37 @@ class AnalysisTransform(nn.Module):
 class SynthesisTransform(nn.Module):
     """Latent -> occupancy logits (reference `model_voxception.py:147-214`).
 
-    ``remat=True``: see AnalysisTransform."""
+    ``remat=True``: see AnalysisTransform.
+
+    ``deconv``: "xla" = nn.ConvTranspose (XLA's dilated-input lowering);
+    "poly" = polyphase sub-pixel lowering (models/subpixel.py) — the same
+    function and the same parameter tree, ~2.4x vs 8x padded FLOPs and an
+    8x wider output-channel axis for the MXU."""
 
     dtype: Any = jnp.float32
     remat: bool = False
+    deconv: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         d = self.dtype
         block = nn.remat(VRNBlock) if self.remat else VRNBlock
+
+        def up(feat, name):
+            if self.deconv == "poly":
+                return subpixel.PolyConvTranspose(feat, dtype=d, name=name)
+            return nn.ConvTranspose(feat, (3, 3, 3), strides=(2, 2, 2),
+                                    padding="SAME", dtype=d, name=name)
+
         x = x.astype(d)
         x = nn.relu(nn.Conv(64, (3, 3, 3), padding="SAME", dtype=d,
                             name="deconv_in")(x))
         for i in range(3):
             x = block(64, dtype=d, name=f"dvrn1_{i+1}")(x)
-        x = nn.relu(nn.ConvTranspose(32, (3, 3, 3), strides=(2, 2, 2),
-                                     padding="SAME", dtype=d,
-                                     name="up_1")(x))
+        x = nn.relu(up(32, "up_1")(x))
         for i in range(3):
             x = block(32, dtype=d, name=f"dvrn2_{i+1}")(x)
-        x = nn.relu(nn.ConvTranspose(16, (3, 3, 3), strides=(2, 2, 2),
-                                     padding="SAME", dtype=d,
-                                     name="up_2")(x))
+        x = nn.relu(up(16, "up_2")(x))
         for i in range(3):
             x = block(16, dtype=d, name=f"dvrn3_{i+1}")(x)
         x = nn.Conv(1, (3, 3, 3), padding="SAME", dtype=d,

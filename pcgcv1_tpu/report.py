@@ -128,12 +128,21 @@ def run_report(eval_dir, out_path, anchor_scales=None,
         codec_curves[seq] = load_rd_csv(csv)
         ply = (os.path.join(inputs_dir, seq + ".ply")
                if inputs_dir else None)
+        if ply and not os.path.exists(ply) and "_" in seq:
+            # mode-tagged CSVs (e.g. house_vox12_f) share the input cloud
+            ply = os.path.join(inputs_dir, seq.rsplit("_", 1)[0] + ".ply")
         if ply and os.path.exists(ply):
+            # voxN sequence names carry their own peak resolution (the
+            # vox12 multi-scale artifact must not be scored at res 1024)
+            seq_res = resolution
+            for tok in seq.split("_"):
+                if tok.startswith("vox") and tok[3:].isdigit():
+                    seq_res = 2 ** int(tok[3:])
             pts, normals = load_ply_with_normals(ply)
             if normals is None:
                 normals = estimate_normals(pts)
             rows = anchors.rd_curve(pts.astype(np.int64), normals,
-                                    resolution, scales=anchor_scales,
+                                    seq_res, scales=anchor_scales,
                                     shifts=anchor_shifts)
             anchor_curves["octree"][seq] = [
                 (r["bpp"], r["d1_psnr"]) for r in rows]

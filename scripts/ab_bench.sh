@@ -15,8 +15,9 @@ leg() { # name env...
   tail -1 "artifacts/ab/${name}.json" 2>/dev/null || echo "(failed)"
 }
 
-leg packed   PCGC_BENCH_MASKWIRE=packed
-leg rans     PCGC_BENCH_MASKWIRE=rans
-leg pallas   PCGC_BENCH_MASKWIRE=packed PCGC_BENCH_VRN=pallas
-leg best     PCGC_BENCH_MASKWIRE=rans   PCGC_BENCH_VRN=pallas
+leg packed   PCGC_BENCH_MASKWIRE=packed PCGC_BENCH_DECONV=xla
+leg rans     PCGC_BENCH_MASKWIRE=rans   PCGC_BENCH_DECONV=xla
+leg pallas   PCGC_BENCH_MASKWIRE=packed PCGC_BENCH_VRN=pallas PCGC_BENCH_DECONV=xla
+leg poly     PCGC_BENCH_MASKWIRE=packed PCGC_BENCH_DECONV=poly
+leg best     PCGC_BENCH_MASKWIRE=rans   PCGC_BENCH_VRN=pallas PCGC_BENCH_DECONV=xla
 echo "[ab] done"

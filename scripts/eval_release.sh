@@ -62,7 +62,9 @@ def regen(path):
     old = configparser.ConfigParser()
     if os.path.exists(path):
         old.read(path)
-    variant_config(path, cks, extra_scales=(0.5, 0.625))
+    # 0.375/0.5 scale points push the curve's low end into the <=0.15 bpp
+    # territory the reference operates in (VERDICT r2 next item 3)
+    variant_config(path, cks, extra_scales=(0.375, 0.5, 0.625))
     new = configparser.ConfigParser()
     new.read(path)
     kept = 0

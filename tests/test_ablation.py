@@ -33,8 +33,9 @@ def test_run_ablations_driver(tmp_path, monkeypatch):
                   chunk, dtype, search_rho=False):
         calls.append({"name": name, "mode": mode, "model": model,
                       "chunk": chunk, "cfg": cfg_path})
-        # two synthetic rate points; 'hyper32' made strictly worse so the
-        # BD sign is deterministic
+        # three synthetic rate points (the BD gate requires >=3 surviving
+        # Pareto points); 'hyper32' made strictly worse so the BD sign is
+        # deterministic
         worse = 3.0 if name == "hyper32" else 0.0
         csv = os.path.join(out_root, name + ".csv")
         os.makedirs(out_root, exist_ok=True)
@@ -42,6 +43,7 @@ def test_run_ablations_driver(tmp_path, monkeypatch):
             f.write("rate,bpp,d1_psnr,d2_psnr\n")
             f.write(f"R1,0.10,{60.0 - worse},{62.0 - worse}\n")
             f.write(f"R2,0.30,{68.0 - worse},{70.0 - worse}\n")
+            f.write(f"R3,0.60,{71.0 - worse},{73.0 - worse}\n")
         return csv
 
     monkeypatch.setattr(ablation, "_eval_variant", fake_eval)

@@ -16,22 +16,25 @@ def key():
 
 class TestVoxception:
     def test_shapes(self, key):
+        # 32^3 input: the transforms are fully convolutional, so every
+        # shape relation is exercised at 1/8 the CPU compile cost of 64^3
+        # (the 64^3 path is covered by the slow-tier end-to-end tests)
         fam = get_model("voxception")
         mods = fam.make(hyper=True)
-        x = jnp.zeros((2, 64, 64, 64, 1))
+        x = jnp.zeros((2, 32, 32, 32, 1))
         pa = mods["analysis"].init(key, x)
         y = mods["analysis"].apply(pa, x)
-        assert y.shape == (2, 16, 16, 16, 16)
+        assert y.shape == (2, 8, 8, 8, 16)
         ps = mods["synthesis"].init(key, y)
         out = mods["synthesis"].apply(ps, y)
-        assert out.shape == (2, 64, 64, 64, 1)
+        assert out.shape == (2, 32, 32, 32, 1)
         phe = mods["hyper_encoder"].init(key, y)
         z = mods["hyper_encoder"].apply(phe, y)
-        assert z.shape == (2, 8, 8, 8, 8)
+        assert z.shape == (2, 4, 4, 4, 8)
         phd = mods["hyper_decoder"].init(key, z)
         loc, scale = mods["hyper_decoder"].apply(phd, z)
-        assert loc.shape == (2, 16, 16, 16, 16)
-        assert scale.shape == (2, 16, 16, 16, 16)
+        assert loc.shape == (2, 8, 8, 8, 16)
+        assert scale.shape == (2, 8, 8, 8, 16)
         assert bool(jnp.all(scale >= 0))
 
     def test_fully_convolutional(self, key):
@@ -53,6 +56,36 @@ class TestVoxception:
 
     def test_alias(self):
         assert get_model("models.model_voxception").name == "voxception"
+
+
+class TestSubpixel:
+    """Polyphase deconv lowering (models/subpixel.py) is the same function
+    as nn.ConvTranspose(k=3, s=2, SAME) on the same parameter tree."""
+
+    def test_primitive_matches_convtranspose(self, key):
+        import flax.linen as nn
+        from pcgcv1_tpu.models.subpixel import conv_transpose_subpixel
+        x = jax.random.normal(key, (2, 5, 5, 5, 12))
+        m = nn.ConvTranspose(6, (3, 3, 3), strides=(2, 2, 2),
+                             padding="SAME")
+        p = m.init(key, x)
+        ref = m.apply(p, x)
+        got = conv_transpose_subpixel(x, p["params"]["kernel"],
+                                      p["params"]["bias"])
+        assert got.shape == ref.shape == (2, 10, 10, 10, 6)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_synthesis_poly_same_params_same_output(self, key):
+        fam = get_model("voxception")
+        y = jax.random.normal(key, (1, 4, 4, 4, 16))
+        ref_mod = fam.make()["synthesis"]
+        params = ref_mod.init(key, y)
+        ref = ref_mod.apply(params, y)
+        poly_mod = fam.make(deconv="poly")["synthesis"]
+        got = poly_mod.apply(params, y)  # identical parameter tree
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
 
 
 class TestSimple:

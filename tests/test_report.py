@@ -1,5 +1,6 @@
 """BD-rate report generation from eval CSVs."""
 
+import numpy as np
 import pandas as pd
 
 from pcgcv1_tpu import report
@@ -78,3 +79,40 @@ def test_compare_plot(tmp_path):
                          "b": _curve(0.2, 61, rate_mult=0.7)}, p)
     import os
     assert os.path.getsize(p) > 1000
+
+
+def test_run_report_vox_resolution_and_tag(tmp_path, monkeypatch):
+    """voxN sequence names select their own anchor peak resolution, and
+    mode-tagged CSVs (house_vox12_f) fall back to the shared input PLY."""
+    eval_dir = tmp_path / "rd"
+    eval_dir.mkdir()
+    for name in ("house_vox12", "house_vox12_f"):
+        pd.DataFrame({
+            "bpp": [0.1, 0.2, 0.4],
+            "d1_psnr": [60.0, 65.0, 70.0],
+            "d2_psnr": [62.0, 67.0, 72.0],
+        }).to_csv(eval_dir / f"{name}.csv", index=False)
+    inputs = tmp_path / "inputs"
+    inputs.mkdir()
+    from pcgcv1_tpu.ops import write_ply
+    write_ply(str(inputs / "house_vox12.ply"),
+              np.random.default_rng(0).integers(
+                  0, 4096, (500, 3)).astype(np.int32))
+
+    seen = {}
+
+    def fake_rd_curve(pts, normals, resolution, scales=None, shifts=None):
+        seen["res"] = resolution
+        seen["count"] = seen.get("count", 0) + 1
+        return [{"bpp": 0.5, "d1_psnr": 50.0},
+                {"bpp": 0.8, "d1_psnr": 55.0},
+                {"bpp": 1.2, "d1_psnr": 60.0}]
+
+    from pcgcv1_tpu.codec import anchors
+    monkeypatch.setattr(anchors, "rd_curve", fake_rd_curve)
+    df = report.run_report(str(eval_dir), str(eval_dir / "bd.csv"),
+                           inputs_dir=str(inputs), resolution=1024)
+    assert seen["res"] == 4096      # vox12 name overrides the default
+    assert seen["count"] == 2       # tagged CSV found the shared PLY
+    assert "house_vox12_f" in df.index or \
+        "house_vox12_f" in getattr(df, "index", [])
