@@ -158,6 +158,12 @@ def run_ablations(args):
         # constant voxels-per-chunk across cube sizes (a 128^3 cube is 8x
         # the volume of a 64^3 one; a fixed cube count would blow HBM)
         chunk = max(1, int(args.chunk * (args.cube_size / cube_size) ** 3))
+        if cube_size >= 128:
+            # the voxel-matched chunk (12 at --chunk 96) compiled to 16.0G
+            # of 15.75G HBM in the round-2 run (FAILED_R*.traceback.txt):
+            # the fused decode pipeline's live set grows super-linearly in
+            # cube volume, so give the 128^3 variant a 1/3 margin
+            chunk = min(chunk, 8)
         print(f"[ablate] running {name} (mode={mode}, model={model}, "
               f"cube={cube_size}, chunk={chunk})")
         try:

@@ -76,7 +76,7 @@ PY
 python -m pcgcv1_tpu.cli eval \
   --input artifacts/house_vox12.ply --cfgdir artifacts/rd_vox12.ini \
   --rootdir artifacts/rd_release --res 4096 --mode hyper \
-  --chunk 96 --dtype bfloat16 ${EVAL_FLAGS:---search_rho}
+  --chunk 96 --dtype bfloat16 ${EVAL_FLAGS:-}
 
 python -m pcgcv1_tpu.cli eval \
   --input artifacts/house_vox12.ply --cfgdir artifacts/rd_vox12_f.ini \

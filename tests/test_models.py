@@ -41,8 +41,8 @@ class TestVoxception:
         # arbitrary cube sizes (the reference's cube_size 32/128 ablation)
         fam = get_model("voxception")
         mods = fam.make()
-        x64 = jnp.zeros((1, 64, 64, 64, 1))
-        pa = mods["analysis"].init(key, x64)
+        x16 = jnp.zeros((1, 16, 16, 16, 1))
+        pa = mods["analysis"].init(key, x16)
         y32 = mods["analysis"].apply(pa, jnp.zeros((1, 32, 32, 32, 1)))
         assert y32.shape == (1, 8, 8, 8, 16)
 
@@ -92,13 +92,13 @@ class TestSimple:
     def test_shapes(self, key):
         fam = get_model("simple")
         mods = fam.make()
-        x = jnp.zeros((2, 64, 64, 64, 1))
+        x = jnp.zeros((2, 32, 32, 32, 1))
         pa = mods["analysis"].init(key, x)
         y = mods["analysis"].apply(pa, x)
-        assert y.shape == (2, 8, 8, 8, 32)
+        assert y.shape == (2, 4, 4, 4, 32)
         ps = mods["synthesis"].init(key, y)
         out = mods["synthesis"].apply(ps, y)
-        assert out.shape == (2, 64, 64, 64, 1)
+        assert out.shape == (2, 32, 32, 32, 1)
 
     def test_no_hyper(self):
         with pytest.raises(ValueError):

@@ -95,9 +95,24 @@ def _tiny_cfg(tmp_path, mode="hyper", **kw):
 
 
 class TestTrainer:
-    @pytest.mark.parametrize("mode", ["hyper", "factorized"])
-    def test_loss_decreases(self, tmp_path, mode):
-        cfg = _tiny_cfg(tmp_path, mode)
+    def test_loss_decreases(self, tmp_path):
+        # hyper mode: the distortion term descends steeply from init, so
+        # 12 steps discriminate while keeping the 1-core fast tier quick
+        cfg = _tiny_cfg(tmp_path, "hyper")
+        tr = Trainer(cfg)
+        ds = data.SyntheticCubeDataset(cube_size=16, seed=2)
+        it = ds.batches(cfg.batch_size)
+        first = float(tr.train_step(next(it))["loss"])
+        losses = [float(tr.train_step(next(it))["loss"])
+                  for _ in range(12)]
+        assert np.mean(losses[-4:]) < first
+        assert np.isfinite(losses).all()
+
+    @pytest.mark.slow
+    def test_loss_decreases_factorized(self, tmp_path):
+        # factorized mode's loss is rate-dominated at init and the density
+        # parameters adapt over tens of steps — needs the longer horizon
+        cfg = _tiny_cfg(tmp_path, "factorized")
         tr = Trainer(cfg)
         ds = data.SyntheticCubeDataset(cube_size=16, seed=2)
         it = ds.batches(cfg.batch_size)
@@ -119,9 +134,9 @@ class TestTrainer:
         it = ds.batches(cfg.batch_size)
         first = float(tr.train_step(next(it))["loss"])
         losses = [float(tr.train_step(next(it))["loss"])
-                  for _ in range(30)]
+                  for _ in range(12)]
         assert np.isfinite(losses).all()
-        assert np.mean(losses[-5:]) < first
+        assert np.mean(losses[-4:]) < first
         after = np.asarray(
             jax.tree.leaves(tr.state["params"]["analysis"])[0])
         assert not np.array_equal(before, after)
@@ -208,7 +223,7 @@ class TestTrainer:
         """A transient runtime failure mid-fit must restore the newest
         checkpoint and continue to the requested step count."""
         cfg = _tiny_cfg(tmp_path, max_failures=3)
-        cfg.save_every = 4
+        cfg.save_every = 2
         tr = Trainer(cfg)
         ds = data.SyntheticCubeDataset(cube_size=16, seed=3)
         real_step = tr.train_step
@@ -216,19 +231,19 @@ class TestTrainer:
 
         def flaky(batch):
             calls["n"] += 1
-            if calls["n"] == 6:
+            if calls["n"] == 4:
                 raise RuntimeError(
                     "FAILED_PRECONDITION: relay stream reset (synthetic)")
             return real_step(batch)
 
         tr.train_step = flaky
         logs = []
-        final = tr.fit(ds.batches(cfg.batch_size), num_iterations=10,
+        final = tr.fit(ds.batches(cfg.batch_size), num_iterations=6,
                        log_fn=logs.append)
-        assert final == 10
-        # the failure at call 6 (host step 5) rolled back to the step-4
-        # checkpoint, so more than 10 successful steps ran overall
-        assert calls["n"] > 10
+        assert final == 6
+        # the failure at call 4 (host step 3) rolled back to the step-2
+        # checkpoint, so more than 6 successful steps ran overall
+        assert calls["n"] > 6
         assert any("recovering_from" in l for l in logs)
 
     def test_persistent_failure_reraises(self, tmp_path):
