@@ -176,11 +176,18 @@ def random_rotation(rng):
     return q * np.sign(np.diag(r))
 
 
-def sample_mesh_points(vertices, faces, n_points=400_000, rng=None):
-    """Area-weighted uniform sampling on the triangle surface."""
+def sample_mesh_points(vertices, faces, n_points=400_000, rng=None,
+                       return_normals=False):
+    """Area-weighted uniform sampling on the triangle surface.
+
+    With ``return_normals=True`` also returns the unit face normal of the
+    triangle each sample came from (reference mesh2pc samplers keep
+    normals for the D2 metric) as a second array.
+    """
     rng = rng or np.random.default_rng()
     v0, v1, v2 = (vertices[faces[:, i]] for i in range(3))
-    areas = 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=1)
+    cross = np.cross(v1 - v0, v2 - v0)
+    areas = 0.5 * np.linalg.norm(cross, axis=1)
     total = areas.sum()
     if total <= 0:
         raise ValueError("degenerate mesh (zero surface area)")
@@ -189,8 +196,14 @@ def sample_mesh_points(vertices, faces, n_points=400_000, rng=None):
     v = rng.random(n_points)
     flip = u + v > 1
     u[flip], v[flip] = 1 - u[flip], 1 - v[flip]
-    return (v0[tri] + u[:, None] * (v1[tri] - v0[tri])
-            + v[:, None] * (v2[tri] - v0[tri]))
+    pts = (v0[tri] + u[:, None] * (v1[tri] - v0[tri])
+           + v[:, None] * (v2[tri] - v0[tri]))
+    if not return_normals:
+        return pts
+    nrm = cross[tri]
+    nlen = np.linalg.norm(nrm, axis=1, keepdims=True)
+    nrm = nrm / np.where(nlen > 0, nlen, 1.0)
+    return pts, nrm
 
 
 def mesh_to_cloud(path, n_points=400_000, resolution=255, rotate=True,
