@@ -91,7 +91,15 @@ def main():
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
     ckpt = _release_ckpt()
-    pts = _workload()
+    # PCGC_BENCH_PLY=path benches a real cloud instead of the synthetic
+    # sheet (content-diversity evidence; the driver's default run keeps
+    # the deterministic synthetic workload)
+    bench_ply = os.environ.get("PCGC_BENCH_PLY", "")
+    if bench_ply:
+        from pcgcv1_tpu.ops import load_ply
+        pts = load_ply(bench_ply).astype(np.int32)
+    else:
+        pts = _workload()
     pre = pipeline.preprocess_points(pts, cube_size=64, min_num=64)
     n_cubes = pre.cubes.shape[0]
     n_points = int(pre.points_numbers.astype(np.int64).sum())
@@ -237,6 +245,7 @@ def main():
             "decode": round(
                 best_dec / REFERENCE_PER_DIRECTION_CUBES_PER_SEC, 2)},
         "checkpoint": _release_ckpt() or "random-init",
+        "content": bench_ply or "synthetic-sheet",
     }))
 
 

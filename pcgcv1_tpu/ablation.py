@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import configparser
 import os
+import time
 
 import numpy as np
 
@@ -108,16 +109,24 @@ def _bd_pair(csv_a, csv_b, d_metric, min_points=3, min_overlap_db=0.3):
     return bdrate(b, a), bdsnr(b, a), None
 
 
-# (variant name, mode, model, cube_size override, fixed_thres, ladder key)
+# (variant name, mode, model, cube_size override, fixed_thres, ladder key,
+#  rough seconds per rate point — used by the --deadline gate). Ordered so
+# a deadline cut drops the least informative comparison first: hyper64
+# anchors three BD rows, then the mode/model ladders (the rows round 2
+# never produced), then the threshold and cube-size variants; hyper128
+# runs last (BASELINE: cube128 ~= cube64, and its chunk-8 sweep is by far
+# the slowest).
 VARIANTS = [
-    ("hyper64", "hyper", "voxception", None, None, "ladder"),
-    ("hyper32", "hyper", "voxception", 32, None, "ladder"),
-    ("hyper128", "hyper", "voxception", 128, None, "ladder"),
-    ("hyper_fixed", "hyper", "voxception", None, 0.0, "ladder"),
+    ("hyper64", "hyper", "voxception", None, None, "ladder", 150),
     ("factorized", "factorized", "voxception", None, None,
-     "factorized_ladder"),
+     "factorized_ladder", 130),
     ("factorized_simple", "factorized", "simple", None, None,
-     "simple_ladder"),
+     "simple_ladder", 120),
+    ("hyper32", "hyper", "voxception", 32, None, "ladder", 150),
+    # same compiled programs as hyper64 (only the selector differs), so
+    # its cold-compile share is near zero
+    ("hyper_fixed", "hyper", "voxception", None, 0.0, "ladder", 120),
+    ("hyper128", "hyper", "voxception", 128, None, "ladder", 240),
 ]
 
 # (row label, variant A, variant B): BD of A vs B, negative = A wins.
@@ -140,11 +149,20 @@ def run_ablations(args):
                                       "").split(",") if s],
     }
     os.makedirs(args.out, exist_ok=True)
+    deadline = float(getattr(args, "deadline", 0) or 0)
     csvs = {}
-    for name, mode, model, cs, fixed, lkey in VARIANTS:
+    for name, mode, model, cs, fixed, lkey, sec_per_pt in VARIANTS:
         cks = ladders[lkey]
         if not cks:
             print(f"[ablate] {name}: no checkpoints given, skipped")
+            continue
+        n_pts = len(cks) + len([s for s in getattr(
+            args, "extra_scales", "").split(",") if s])
+        est = n_pts * sec_per_pt + 120
+        if deadline and time.time() + est > deadline:
+            print(f"[ablate] {name}: skipped — est {est:.0f}s exceeds "
+                  f"the {deadline - time.time():.0f}s left before "
+                  f"--deadline (partial results beat a killed sweep)")
             continue
         cube_size = cs or args.cube_size
         # keep the partition density comparable across cube sizes: the
@@ -174,6 +192,12 @@ def run_ablations(args):
             import traceback
             print(f"[ablate] {name} FAILED: {e!r}\n"
                   f"{traceback.format_exc()}")
+            # the harness flushes its CSV per rate point: salvage the
+            # completed rows (the BD gates below decide if they suffice)
+            base = os.path.splitext(os.path.basename(args.input))[0]
+            partial = os.path.join(args.out, name, base + ".csv")
+            if os.path.exists(partial):
+                csvs[name] = partial
 
     rows = []
     for label, va, vb in COMPARISONS:

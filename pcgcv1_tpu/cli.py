@@ -479,6 +479,10 @@ def main(argv=None):
     pa.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     pa.add_argument("--search_rho", action="store_true")
+    pa.add_argument("--deadline", type=float, default=0,
+                    help="epoch seconds: skip variants whose estimated "
+                         "sweep would overrun this instant (slowest, "
+                         "least-informative variants are ordered last)")
     pa.set_defaults(fn=lambda a: __import__(
         "pcgcv1_tpu.ablation", fromlist=["run_ablations"]).run_ablations(a))
 

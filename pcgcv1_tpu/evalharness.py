@@ -283,12 +283,14 @@ def run_eval(args):
                    for k, v in row.items()
                    if k in ("rate", "bpp", "d1_psnr", "d2_psnr",
                             "t_encode", "t_decode")})
+            # flush the CSV after every rate point: deadline-bounded
+            # sweeps (timeout around the CLI) keep the completed rows
+            base = os.path.splitext(os.path.basename(input_file))[0]
+            if getattr(args, "tag", ""):
+                base = f"{base}_{args.tag}"
+            csv_path = os.path.join(args.rootdir, base + ".csv")
+            pd.DataFrame(rows).to_csv(csv_path, index=False)
         df = pd.DataFrame(rows)
-        base = os.path.splitext(os.path.basename(input_file))[0]
-        if getattr(args, "tag", ""):
-            base = f"{base}_{args.tag}"
-        csv_path = os.path.join(args.rootdir, base + ".csv")
-        df.to_csv(csv_path, index=False)
         if "bpp" in df:
             ok = df.dropna(subset=["bpp"])
             if len(ok):

@@ -103,6 +103,45 @@ def write_published_context(published_csv, our_bd, out_md):
     return out_md
 
 
+def anchor_curve_cached(ply, seq_res, eval_dir, anchor_scales=None,
+                        anchor_shifts=(1, 2, 3, 4)):
+    """Octree-anchor R-D curve for one input cloud, cached on disk.
+
+    Anchor curves are pure functions of (cloud, res, ladder) and expensive
+    (native octree + pc_error per rate point; minutes on multi-M-point
+    clouds), so they are cached under ``<eval_dir>/anchor_cache`` keyed by
+    the cloud's identity (name+size+mtime) and the ladder parameters.
+    Mode-tagged CSVs sharing a cloud (house_vox12 / house_vox12_f) hit the
+    same entry; a warm pass before a deadline-bounded report makes the
+    report itself near-instant."""
+    import json
+    from pcgcv1_tpu.codec import anchors
+    from pcgcv1_tpu.metrics import estimate_normals
+    from pcgcv1_tpu.ops import load_ply_with_normals
+
+    st = os.stat(ply)
+    key = (f"{os.path.basename(ply)}_res{seq_res}"
+           f"_sc{anchor_scales}_sh{tuple(anchor_shifts)}"
+           f"_{st.st_size}_{int(st.st_mtime)}")
+    cache_dir = os.path.join(eval_dir, "anchor_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache_path = os.path.join(
+        cache_dir, key.replace("/", "_").replace(" ", "") + ".json")
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            return [tuple(p) for p in json.load(f)]
+    pts, normals = load_ply_with_normals(ply)
+    if normals is None:
+        normals = estimate_normals(pts)
+    rows = anchors.rd_curve(pts.astype(np.int64), normals,
+                            seq_res, scales=anchor_scales,
+                            shifts=anchor_shifts)
+    curve = [(r["bpp"], r["d1_psnr"]) for r in rows]
+    with open(cache_path, "w") as f:
+        json.dump(curve, f)
+    return curve
+
+
 def run_report(eval_dir, out_path, anchor_scales=None,
                inputs_dir=None, resolution=1024, published_csv=None,
                anchor_shifts=(1, 2, 3, 4)):
@@ -115,9 +154,6 @@ def run_report(eval_dir, out_path, anchor_scales=None,
     switches to the round-2 rescale ladder instead."""
     import glob
     import pandas as pd
-    from pcgcv1_tpu.codec import anchors
-    from pcgcv1_tpu.metrics import estimate_normals
-    from pcgcv1_tpu.ops import load_ply_with_normals
 
     codec_curves = {}
     anchor_curves = {"octree": {}}
@@ -125,7 +161,12 @@ def run_report(eval_dir, out_path, anchor_scales=None,
         seq = os.path.splitext(os.path.basename(csv))[0]
         if seq.endswith("_bd"):
             continue
-        codec_curves[seq] = load_rd_csv(csv)
+        try:
+            codec_curves[seq] = load_rd_csv(csv)
+        except KeyError:
+            # not an R-D CSV (e.g. a previously written BD table living
+            # in the same directory) — skip, don't crash the report
+            continue
         ply = (os.path.join(inputs_dir, seq + ".ply")
                if inputs_dir else None)
         if ply and not os.path.exists(ply) and "_" in seq:
@@ -138,14 +179,8 @@ def run_report(eval_dir, out_path, anchor_scales=None,
             for tok in seq.split("_"):
                 if tok.startswith("vox") and tok[3:].isdigit():
                     seq_res = 2 ** int(tok[3:])
-            pts, normals = load_ply_with_normals(ply)
-            if normals is None:
-                normals = estimate_normals(pts)
-            rows = anchors.rd_curve(pts.astype(np.int64), normals,
-                                    seq_res, scales=anchor_scales,
-                                    shifts=anchor_shifts)
-            anchor_curves["octree"][seq] = [
-                (r["bpp"], r["d1_psnr"]) for r in rows]
+            anchor_curves["octree"][seq] = anchor_curve_cached(
+                ply, seq_res, eval_dir, anchor_scales, anchor_shifts)
             compare_plot(
                 {"learned": codec_curves[seq],
                  "octree anchor": anchor_curves["octree"][seq]},

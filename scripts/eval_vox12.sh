@@ -78,14 +78,27 @@ for path, sections in (("artifacts/rd_vox12.ini", hyper_sections),
     print(f"{path}: {len(cfg.sections())} rate points")
 PY
 
-python -m pcgcv1_tpu.cli eval \
+# Deadline-bounded sweeps: the harness flushes its CSV after every rate
+# point, so a timeout keeps the completed rows. The hyper sweep gets half
+# the remaining window (floor 10 min), factorized the rest minus a
+# report/bench reserve.
+DEADLINE=${ROUND3_DEADLINE:-1787190145}
+left=$(( DEADLINE - $(date +%s) - 900 ))
+[ "$left" -gt 600 ] || left=600
+t_hyper=$(( left / 2 )); [ "$t_hyper" -gt 600 ] || t_hyper=600
+
+timeout "$t_hyper" python -m pcgcv1_tpu.cli eval \
   --input artifacts/house_vox12.ply --cfgdir artifacts/rd_vox12.ini \
   --rootdir artifacts/rd_release --res 4096 --mode hyper \
-  --chunk 96 --dtype bfloat16 ${EVAL_FLAGS:-}
+  --chunk 96 --dtype bfloat16 ${EVAL_FLAGS:-} \
+  || echo "[vox12] hyper sweep cut at ${t_hyper}s (partial CSV kept)"
 
-python -m pcgcv1_tpu.cli eval \
+t_fact=$(( DEADLINE - $(date +%s) - 900 ))
+[ "$t_fact" -gt 600 ] || t_fact=600
+timeout "$t_fact" python -m pcgcv1_tpu.cli eval \
   --input artifacts/house_vox12.ply --cfgdir artifacts/rd_vox12_f.ini \
   --rootdir artifacts/rd_release --res 4096 --mode factorized \
-  --chunk 96 --dtype bfloat16 --tag f ${EVAL_FLAGS_F:-}
+  --chunk 96 --dtype bfloat16 --tag f ${EVAL_FLAGS_F:-} \
+  || echo "[vox12] factorized sweep cut at ${t_fact}s (partial CSV kept)"
 
 echo "[vox12 eval done]"

@@ -75,3 +75,31 @@ def test_run_ablations_driver(tmp_path, monkeypatch):
     assert row["bdrate_d1_pct"] < 0
     assert np.isfinite(row["bdsnr_d1_db"])
     assert os.path.exists(os.path.join(args.out, "ablation_bd.csv"))
+
+
+def test_run_ablations_deadline_gate(tmp_path, monkeypatch):
+    """--deadline skips variants whose estimated sweep would overrun,
+    in declared order (hyper128 last so a cut drops it first), and an
+    exhausted budget runs nothing."""
+    import time
+
+    calls = []
+
+    def fake_eval(name, *a, **k):
+        calls.append(name)
+        return os.path.join(str(tmp_path), name + ".csv")  # never written
+
+    monkeypatch.setattr(ablation, "_eval_variant", fake_eval)
+    args = argparse.Namespace(
+        input="unused.ply", out=str(tmp_path / "abl"),
+        ladder="c1,c2", factorized_ladder="f1", simple_ladder="s1",
+        res=1024, cube_size=64, min_num=64, chunk=64, dtype="bfloat16",
+        search_rho=False, extra_scales="0.625", deadline=time.time() + 1)
+    ablation.run_ablations(args)
+    assert calls == []
+
+    args.deadline = 0  # no deadline: everything runs, hyper128 last
+    calls.clear()
+    ablation.run_ablations(args)
+    assert calls == ["hyper64", "factorized", "factorized_simple",
+                     "hyper32", "hyper_fixed", "hyper128"]

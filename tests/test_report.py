@@ -113,6 +113,15 @@ def test_run_report_vox_resolution_and_tag(tmp_path, monkeypatch):
     df = report.run_report(str(eval_dir), str(eval_dir / "bd.csv"),
                            inputs_dir=str(inputs), resolution=1024)
     assert seen["res"] == 4096      # vox12 name overrides the default
-    assert seen["count"] == 2       # tagged CSV found the shared PLY
+    # the tagged CSV found the shared PLY, and the anchor cache deduped
+    # the second (identical) curve computation
+    assert seen["count"] == 1
     assert "house_vox12_f" in df.index or \
         "house_vox12_f" in getattr(df, "index", [])
+    assert "bdrate vs octree" in df.columns and len(df.loc["house_vox12_f"])
+
+    # a re-report must hit the cache (no recompute at all)
+    seen["count"] = 0
+    report.run_report(str(eval_dir), str(eval_dir / "bd.csv"),
+                      inputs_dir=str(inputs), resolution=1024)
+    assert seen["count"] == 0
