@@ -69,18 +69,9 @@ def _eval_variant(name, input_file, cfg_path, out_root, res, mode, model,
 
 
 def _pareto_front(points):
-    """Prune an R-D point list to its Pareto front: finite points only,
-    sorted by rate, each successive point must improve quality. Dominated
-    rungs (more bits, no more quality — round 2's non-monotone ladders)
-    would otherwise feed the BD polyfit a non-function."""
-    pts = sorted((float(r), float(d)) for r, d in points
-                 if np.isfinite(r) and np.isfinite(d) and r > 0)
-    front, best = [], -np.inf
-    for r, d in pts:
-        if d > best:
-            front.append((r, d))
-            best = d
-    return front
+    """Shared with the release report — see report.pareto_front."""
+    from pcgcv1_tpu.report import pareto_front
+    return pareto_front(points)
 
 
 def _bd_pair(csv_a, csv_b, d_metric, min_points=3, min_overlap_db=0.3):

@@ -22,6 +22,25 @@ def load_rd_csv(path, d_metric="d1"):
     return list(zip(df["bpp"], df[f"{d_metric}_psnr"]))
 
 
+def pareto_front(points):
+    """Prune an R-D point list to its Pareto front: finite points only,
+    sorted by rate, each successive point must improve quality.
+
+    The BD polyfit runs over PSNR-as-abscissa, so a rate ladder with
+    dominated rungs (more bits, no more quality) is a non-function and
+    skews the integral; every curve entering a BD computation goes
+    through this first (the reference reports its optimal-rho convex
+    hull the same way, eval_ablation_studies.py:152-205)."""
+    pts = sorted((float(r), float(d)) for r, d in points
+                 if np.isfinite(r) and np.isfinite(d) and r > 0)
+    front, best = [], -np.inf
+    for r, d in pts:
+        if d > best:
+            front.append((r, d))
+            best = d
+    return front
+
+
 def bd_table(codec_curves, anchor_curves, d_metric="d1"):
     """BD-rate/BD-PSNR of the codec vs each anchor, per sequence + average.
 
@@ -39,8 +58,8 @@ def bd_table(codec_curves, anchor_curves, d_metric="d1"):
         for aname, acurves in anchor_curves.items():
             if seq not in acurves:
                 continue
-            finite = [(r, p) for r, p in acurves[seq] if np.isfinite(p)]
-            cfin = [(r, p) for r, p in curve if np.isfinite(p)]
+            finite = pareto_front(acurves[seq])
+            cfin = pareto_front(curve)
             if len(finite) < 2 or len(cfin) < 2:
                 continue
             row[f"bdrate vs {aname}"] = bdrate(finite, cfin)
