@@ -56,13 +56,13 @@ def variant_config(path, ckpt_dirs, cube_size=64, min_num=64,
 
 
 def _eval_variant(name, input_file, cfg_path, out_root, res, mode, model,
-                  chunk, dtype, search_rho=False):
+                  chunk, dtype, search_rho=False, deadline=0):
     """Run one variant's R-D sweep; returns the CSV path."""
     rootdir = os.path.join(out_root, name)
     ns = argparse.Namespace(
         input=input_file, rootdir=rootdir, cfgdir=cfg_path, res=res,
         mode=mode, modelname=model, chunk=chunk, dtype=dtype,
-        search_rho=search_rho)
+        search_rho=search_rho, deadline=deadline)
     evalharness.run_eval(ns)
     base = os.path.splitext(os.path.basename(input_file))[0]
     return os.path.join(rootdir, base + ".csv")
@@ -77,48 +77,66 @@ def _pareto_front(points):
 def _bd_pair(csv_a, csv_b, d_metric, min_points=3, min_overlap_db=0.3):
     """Gated BD-rate/BD-PSNR of curve A vs curve B (negative = A wins).
 
-    Returns (bd_rate, bd_snr, reason): reason is None when the comparison
-    is well-posed, else a string and the BD values are NaN. Gates (ADVICE
-    round 2 — a +50,251% BD-rate over non-overlapping, non-monotone
-    curves must never land in a release artifact):
-      - each curve must keep >= min_points after Pareto pruning;
-      - the PSNR spans must overlap by >= min_overlap_db (the BD integral
-        runs over the common quality interval; no overlap = extrapolation).
-    """
-    from pcgcv1_tpu.report import load_rd_csv
-    a = _pareto_front(load_rd_csv(csv_a, d_metric))
-    b = _pareto_front(load_rd_csv(csv_b, d_metric))
-    if len(a) < min_points or len(b) < min_points:
-        return (float("nan"), float("nan"),
-                f"insufficient rate points after Pareto pruning "
-                f"({len(a)} vs {len(b)}, need {min_points})")
-    lo = max(min(d for _, d in a), min(d for _, d in b))
-    hi = min(max(d for _, d in a), max(d for _, d in b))
-    if hi - lo < min_overlap_db:
-        return (float("nan"), float("nan"),
-                f"PSNR overlap {hi - lo:.2f} dB < {min_overlap_db} dB")
-    return bdrate(b, a), bdsnr(b, a), None
+    Thin CSV-loading wrapper over the shared gates in ``report.bd_pair``
+    (the release BD table and the ablation table must fail the same way
+    on ill-posed pairs)."""
+    from pcgcv1_tpu.report import bd_pair, load_rd_csv
+    return bd_pair(load_rd_csv(csv_a, d_metric),
+                   load_rd_csv(csv_b, d_metric),
+                   min_points=min_points, min_overlap_db=min_overlap_db)
 
 
 # (variant name, mode, model, cube_size override, fixed_thres, ladder key,
-#  rough seconds per rate point — used by the --deadline gate). Ordered so
-# a deadline cut drops the least informative comparison first: hyper64
-# anchors three BD rows, then the mode/model ladders (the rows round 2
-# never produced), then the threshold and cube-size variants; hyper128
-# runs last (BASELINE: cube128 ~= cube64, and its chunk-8 sweep is by far
-# the slowest).
+#  seconds per rate point ON A 3M-POINT CLOUD — rescaled by the actual
+#  input size at runtime and used by the --deadline gate). Calibrated from
+# the round-3e sweep (hyper64 on the 3M composite: 5 points in ~42 min
+# ≈ 500 s/pt, pc_error + codec + per-rate warmup; round-3 ADVICE — the
+# old 150 s/pt estimates were ~3x low and blew the deadline inside the
+# first variant). Ordered so a deadline cut drops the least informative
+# comparison first: hyper64 anchors three BD rows, then the mode/model
+# ladders, then the threshold and cube-size variants; hyper128 runs last
+# (BASELINE: cube128 ~= cube64, and its chunk-8 sweep is by far the
+# slowest).
 VARIANTS = [
-    ("hyper64", "hyper", "voxception", None, None, "ladder", 150),
+    ("hyper64", "hyper", "voxception", None, None, "ladder", 500),
     ("factorized", "factorized", "voxception", None, None,
-     "factorized_ladder", 130),
+     "factorized_ladder", 460),
     ("factorized_simple", "factorized", "simple", None, None,
-     "simple_ladder", 120),
-    ("hyper32", "hyper", "voxception", 32, None, "ladder", 150),
+     "simple_ladder", 430),
+    ("hyper32", "hyper", "voxception", 32, None, "ladder", 560),
     # same compiled programs as hyper64 (only the selector differs), so
     # its cold-compile share is near zero
-    ("hyper_fixed", "hyper", "voxception", None, 0.0, "ladder", 120),
-    ("hyper128", "hyper", "voxception", 128, None, "ladder", 240),
+    ("hyper_fixed", "hyper", "voxception", None, 0.0, "ladder", 480),
+    ("hyper128", "hyper", "voxception", 128, None, "ladder", 700),
 ]
+_CALIBRATION_POINTS = 3.0e6  # sec_per_pt is per cloud of this size
+
+
+def _ply_vertex_count(path):
+    """Vertex count from a PLY header (cheap; estimates sweep cost)."""
+    try:
+        with open(path, "rb") as f:
+            for _ in range(64):
+                line = f.readline()
+                if line.startswith(b"element vertex"):
+                    return int(line.split()[-1])
+                if line.strip() == b"end_header" or not line:
+                    break
+    except OSError:
+        pass
+    return None
+
+
+def _csv_valid_rows(csv_path):
+    """Completed (bpp-bearing) rows of a partial/finished sweep CSV."""
+    if not os.path.exists(csv_path):
+        return 0
+    import pandas as pd
+    try:
+        df = pd.read_csv(csv_path)
+        return int(df["bpp"].notna().sum()) if "bpp" in df else 0
+    except Exception:  # noqa: BLE001 — malformed partial file
+        return 0
 
 # (row label, variant A, variant B): BD of A vs B, negative = A wins.
 # Matches the reference's reported comparisons (results.ipynb 68-110).
@@ -141,6 +159,11 @@ def run_ablations(args):
     }
     os.makedirs(args.out, exist_ok=True)
     deadline = float(getattr(args, "deadline", 0) or 0)
+    n_in = _ply_vertex_count(args.input)
+    # pc_error dominates a rate point and scales ~linearly in cloud size
+    size_factor = (max(0.1, n_in / _CALIBRATION_POINTS)
+                   if n_in else 1.0)
+    base = os.path.splitext(os.path.basename(args.input))[0]
     csvs = {}
     for name, mode, model, cs, fixed, lkey, sec_per_pt in VARIANTS:
         cks = ladders[lkey]
@@ -149,7 +172,13 @@ def run_ablations(args):
             continue
         n_pts = len(cks) + len([s for s in getattr(
             args, "extra_scales", "").split(",") if s])
-        est = n_pts * sec_per_pt + 120
+        done_csv = os.path.join(args.out, name, base + ".csv")
+        if getattr(args, "reuse", False) and \
+                _csv_valid_rows(done_csv) >= n_pts:
+            print(f"[ablate] {name}: reusing completed sweep {done_csv}")
+            csvs[name] = done_csv
+            continue
+        est = n_pts * sec_per_pt * size_factor + 120
         if deadline and time.time() + est > deadline:
             print(f"[ablate] {name}: skipped — est {est:.0f}s exceeds "
                   f"the {deadline - time.time():.0f}s left before "
@@ -176,16 +205,19 @@ def run_ablations(args):
         print(f"[ablate] running {name} (mode={mode}, model={model}, "
               f"cube={cube_size}, chunk={chunk})")
         try:
+            # the harness also checks the deadline BETWEEN rate points
+            # (round-3 ADVICE: a pre-variant-only gate can still blow the
+            # budget inside one variant), flushing partial CSVs
             csvs[name] = _eval_variant(
                 name, args.input, cfg, args.out, args.res, mode, model,
-                chunk, args.dtype, search_rho=args.search_rho)
+                chunk, args.dtype, search_rho=args.search_rho,
+                deadline=deadline)
         except Exception as e:  # noqa: BLE001 — one variant must not kill
             import traceback
             print(f"[ablate] {name} FAILED: {e!r}\n"
                   f"{traceback.format_exc()}")
             # the harness flushes its CSV per rate point: salvage the
             # completed rows (the BD gates below decide if they suffice)
-            base = os.path.splitext(os.path.basename(args.input))[0]
             partial = os.path.join(args.out, name, base + ".csv")
             if os.path.exists(partial):
                 csvs[name] = partial

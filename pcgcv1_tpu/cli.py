@@ -36,7 +36,7 @@ def _add_codec_flags(p):
     p.add_argument("--min_num", type=int, default=64)
     p.add_argument("--rho", type=float, default=1.0)
     p.add_argument("--fixed_thres", type=float, default=None)
-    p.add_argument("--chunk", type=int, default=64,
+    p.add_argument("--chunk", type=int, default=96,
                    help="cubes per jitted device step (encode and decode "
                         "of one stream must match)")
     p.add_argument("--dtype", default="float32",
@@ -61,7 +61,7 @@ def _add_codec_flags(p):
                         "ConvTranspose; 'poly' = polyphase sub-pixel "
                         "conv (models/subpixel.py) — same function and "
                         "parameters, MXU-friendly shapes")
-    p.add_argument("--mask_wire", default="packed",
+    p.add_argument("--mask_wire", default="rans",
                    choices=["packed", "rans"],
                    help="decode-side mask download transport: 'packed' = "
                         "raw bit-packed bytes; 'rans' = device nibble "
@@ -80,7 +80,7 @@ def _make_codec(args):
         cube_size=args.cube_size, coder=getattr(args, "coder", "host"),
         prior=getattr(args, "prior", "float"),
         vrn=getattr(args, "vrn", "xla"),
-        mask_wire=getattr(args, "mask_wire", "packed"),
+        mask_wire=getattr(args, "mask_wire", "rans"),
         deconv=getattr(args, "deconv", "xla"))
 
 
@@ -317,7 +317,9 @@ def cmd_report(args):
     from pcgcv1_tpu import report
     out = args.out or os.path.join(args.eval_dir, "bdrate_bd.csv")
     scales = (tuple(float(s) for s in args.anchor_scales.split(","))
-              if args.anchor_scales else None)
+              if args.anchor_scales else (0.875, 0.75))
+    if args.anchor_scales == "none":
+        scales = None
     df = report.run_report(args.eval_dir, out,
                            inputs_dir=args.inputs_dir or None,
                            resolution=args.res,
@@ -446,7 +448,7 @@ def main(argv=None):
     pe.add_argument("--mode", default="hyper",
                     choices=["hyper", "factorized"])
     pe.add_argument("--modelname", default="voxception")
-    pe.add_argument("--chunk", type=int, default=64)
+    pe.add_argument("--chunk", type=int, default=96)
     pe.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     pe.add_argument("--tag", default="",
@@ -470,7 +472,7 @@ def main(argv=None):
     pa.add_argument("--res", type=int, default=1024)
     pa.add_argument("--cube_size", type=int, default=64)
     pa.add_argument("--min_num", type=int, default=64)
-    pa.add_argument("--chunk", type=int, default=64)
+    pa.add_argument("--chunk", type=int, default=96)
     pa.add_argument("--extra_scales", default="0.625",
                     help="comma-separated extra low-rate points coded at "
                          "positional scale s with each ladder's lowest-"
@@ -482,7 +484,13 @@ def main(argv=None):
     pa.add_argument("--deadline", type=float, default=0,
                     help="epoch seconds: skip variants whose estimated "
                          "sweep would overrun this instant (slowest, "
-                         "least-informative variants are ordered last)")
+                         "least-informative variants are ordered last); "
+                         "also stops a running variant between rate "
+                         "points, keeping its partial CSV")
+    pa.add_argument("--reuse", action="store_true",
+                    help="reuse a variant's completed CSV from a previous "
+                         "sweep (same --out) instead of re-running it; "
+                         "the BD table is recomputed either way")
     pa.set_defaults(fn=lambda a: __import__(
         "pcgcv1_tpu.ablation", fromlist=["run_ablations"]).run_ablations(a))
 
@@ -515,8 +523,10 @@ def main(argv=None):
                     help="octree depth-truncation ladder (qscale=2^-k), "
                          "the G-PCC-octree-style anchor")
     pr.add_argument("--anchor_scales", default="",
-                    help="use a rescale-ladder anchor instead (round-2 "
-                         "behavior), e.g. '0.75,0.5,0.375,0.25'")
+                    help="fractional-rescale anchor points merged into "
+                         "the depth-truncation ladder so the anchor "
+                         "covers the codec's 63dB+ operating range "
+                         "(default 0.875,0.75; 'none' disables)")
     pr.set_defaults(fn=cmd_report)
 
     pm = sub.add_parser("mesh2pc", help="mesh -> voxelized point cloud")

@@ -81,20 +81,27 @@ def decode(data, scale=1.0):
     return out
 
 
-def rd_curve(points, normals, resolution, scales=None,
-             shifts=(1, 2, 3, 4, 5)):
+def rd_curve(points, normals, resolution, scales=None, shifts=None):
     """Anchor rate-distortion curve: (bpp, d1_psnr, d2_psnr) per rate point.
 
     By default produces the G-PCC-octree-style ladder from depth
-    truncation (``shifts``, qscale = 2^-shift). Passing ``scales`` instead
-    reproduces the round-2 rescale ladder (kept for comparability).
+    truncation (``shifts``, qscale = 2^-shift). ``scales`` adds
+    fractional-rescale points (round + dedupe, the reference pipeline's
+    own scaling) — depth truncation only reaches power-of-two qscales, so
+    its ladder tops out ~63 dB at vox10, below a trained codec's operating
+    range; fractional scales (e.g. 0.875, 0.75) fill the 63 dB..lossless
+    interval so BD comparisons against the codec have PSNR overlap.
+    Passing both merges the two ladders into one curve (callers Pareto-
+    prune before any BD computation).
     """
     from pcgcv1_tpu.metrics import pc_error
 
     rows = []
     n = len(points)
-    legs = ([("scale", s) for s in scales] if scales is not None
-            else [("shift", k) for k in shifts])
+    if scales is None and shifts is None:
+        shifts = (1, 2, 3, 4, 5)
+    legs = ([("scale", s) for s in (scales or ())]
+            + [("shift", k) for k in (shifts or ())])
     for kind, v in legs:
         if kind == "scale":
             blob = encode(points, scale=v)

@@ -243,6 +243,13 @@ def run_eval(args):
               if os.path.isdir(args.input) else [args.input])
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
+    # optional wall-clock deadline (epoch seconds): the sweep stops
+    # BETWEEN rate points once the next point would likely overrun,
+    # keeping the per-point-flushed partial CSV (deadline-bounded chains
+    # must never be killed mid-point — round-3 ADVICE)
+    deadline = float(getattr(args, "deadline", 0) or 0)
+    last_pt_wall = 0.0
+
     os.makedirs(args.rootdir, exist_ok=True)
     for input_file in inputs:
         rows = []
@@ -250,6 +257,15 @@ def run_eval(args):
         if normals is None:
             normals = estimate_normals(pts)
         for section in cfg.sections():
+            # always run at least one point (a partial row beats none);
+            # afterwards, stop once the next point would likely overrun
+            if deadline and last_pt_wall and \
+                    time.time() + max(60.0, last_pt_wall) > deadline:
+                print(f"[deadline] stopping before {section}: "
+                      f"{deadline - time.time():.0f}s left < last "
+                      f"point's {last_pt_wall:.0f}s; partial CSV kept")
+                break
+            t_pt0 = time.time()
             s = cfg[section]
             # fault-tolerant sweep: one bad rate point (missing ckpt,
             # malformed config) must not kill a multi-hour run; transient
@@ -279,6 +295,7 @@ def run_eval(args):
                     row = {"rate": section, "error": repr(e)}
                     break
             rows.append(row)
+            last_pt_wall = time.time() - t_pt0
             print({k: round(v, 4) if isinstance(v, float) else v
                    for k, v in row.items()
                    if k in ("rate", "bpp", "d1_psnr", "d2_psnr",
@@ -290,6 +307,8 @@ def run_eval(args):
                 base = f"{base}_{args.tag}"
             csv_path = os.path.join(args.rootdir, base + ".csv")
             pd.DataFrame(rows).to_csv(csv_path, index=False)
+        if not rows:
+            continue  # deadline hit before the first rate point
         df = pd.DataFrame(rows)
         if "bpp" in df:
             ok = df.dropna(subset=["bpp"])

@@ -26,14 +26,19 @@ def _poly_avg(x1, y1, x2, y2):
 
     Curves with fewer than 4 points fit the highest well-posed degree
     instead (the standard BD calculation assumes 4 rate points; short
-    curves degrade gracefully rather than rank-deficiently)."""
+    curves degrade gracefully rather than rank-deficiently).
+
+    When the curves' x spans do not overlap the BD integral is undefined
+    (it would be pure extrapolation) and the result is NaN — never a
+    silent 0.0 (round-3 ADVICE: a no-overlap 0.0 landed in a release
+    artifact and read as parity)."""
     deg = max(1, min(3, len(x1) - 1, len(x2) - 1))
     p1 = np.polyfit(x1, y1, deg)
     p2 = np.polyfit(x2, y2, deg)
     lo = max(x1.min(), x2.min())
     hi = min(x1.max(), x2.max())
     if hi <= lo:
-        return 0.0
+        return float("nan")
     int1 = np.polyval(np.polyint(p1), hi) - np.polyval(np.polyint(p1), lo)
     int2 = np.polyval(np.polyint(p2), hi) - np.polyval(np.polyint(p2), lo)
     return (int2 - int1) / (hi - lo)

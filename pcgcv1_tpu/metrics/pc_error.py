@@ -78,7 +78,9 @@ def pc_error(points_a, points_b, resolution, normals_a=None):
         "mseF      (p2point)": mseF,
         "mseF,PSNR (p2point)": _psnr(peak, mseF),
         "h.       1(p2point)": h1,
+        "h.,PSNR  1(p2point)": _psnr(peak, h1),
         "h.       2(p2point)": h2,
+        "h.,PSNR  2(p2point)": _psnr(peak, h2),
         "h.        (p2point)": hF,
         "h.,PSNR   (p2point)": _psnr(peak, hF),
     }
@@ -122,6 +124,10 @@ def pc_error(points_a, points_b, resolution, normals_a=None):
             "mse2,PSNR (p2plane)": _psnr(peak, mse2p),
             "mseF      (p2plane)": mseFp,
             "mseF,PSNR (p2plane)": _psnr(peak, mseFp),
+            "h.       1(p2plane)": h1p,
+            "h.,PSNR  1(p2plane)": _psnr(peak, h1p),
+            "h.       2(p2plane)": h2p,
+            "h.,PSNR  2(p2plane)": _psnr(peak, h2p),
             "h.        (p2plane)": hFp,
             "h.,PSNR   (p2plane)": _psnr(peak, hFp),
         })

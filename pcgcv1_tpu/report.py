@@ -28,9 +28,11 @@ def pareto_front(points):
 
     The BD polyfit runs over PSNR-as-abscissa, so a rate ladder with
     dominated rungs (more bits, no more quality) is a non-function and
-    skews the integral; every curve entering a BD computation goes
-    through this first (the reference reports its optimal-rho convex
-    hull the same way, eval_ablation_studies.py:152-205)."""
+    skews the integral. This pruning is a local robustness choice of this
+    repo (the reference fits the raw points, `myutils/bdrate_metrics.py`;
+    its rho search, eval_ablation_studies.py:152-205, is a per-point
+    sweep, not curve pruning) — we prune so that short or weakly
+    separated ladders cannot feed a non-monotone curve to the polyfit."""
     pts = sorted((float(r), float(d)) for r, d in points
                  if np.isfinite(r) and np.isfinite(d) and r > 0)
     front, best = [], -np.inf
@@ -41,15 +43,48 @@ def pareto_front(points):
     return front
 
 
-def bd_table(codec_curves, anchor_curves, d_metric="d1"):
+def bd_pair(curve_a, curve_b, min_points=3, min_overlap_db=0.3):
+    """Gated BD-rate/BD-PSNR of curve A vs curve B (negative = A wins).
+
+    Returns (bd_rate, bd_snr, reason): reason is None when the comparison
+    is well-posed, else a string and the BD values are NaN. Gates (round-2
+    and round-3 ADVICE — a +50,251% BD-rate over non-overlapping curves,
+    and a silent no-overlap 0.0, must never land in a release artifact):
+      - each curve must keep >= min_points after Pareto pruning;
+      - the PSNR spans must overlap by >= min_overlap_db (the BD integral
+        runs over the common quality interval; no overlap = extrapolation).
+    """
+    a = pareto_front(curve_a)
+    b = pareto_front(curve_b)
+    if len(a) < min_points or len(b) < min_points:
+        return (float("nan"), float("nan"),
+                f"insufficient rate points after Pareto pruning "
+                f"({len(a)} vs {len(b)}, need {min_points})")
+    lo = max(min(d for _, d in a), min(d for _, d in b))
+    hi = min(max(d for _, d in a), max(d for _, d in b))
+    if hi - lo < min_overlap_db:
+        return (float("nan"), float("nan"),
+                f"PSNR overlap {hi - lo:.2f} dB < {min_overlap_db} dB")
+    return bdrate(b, a), bdsnr(b, a), None
+
+
+def bd_table(codec_curves, anchor_curves, metric_tag="",
+             min_points=3, min_overlap_db=0.3):
     """BD-rate/BD-PSNR of the codec vs each anchor, per sequence + average.
+
+    Every pair goes through the same well-posedness gates as the ablation
+    driver (``bd_pair``): ill-posed pairs yield NaN plus a human-readable
+    ``invalid<tag> vs <anchor>`` reason column, and NaN rows are excluded
+    from the average (pandas skipna) — never a fabricated 0.0.
 
     Args:
       codec_curves: {sequence: [(bpp, psnr), ...]}
       anchor_curves: {anchor_name: {sequence: [(bpp, psnr), ...]}}
+      metric_tag: optional column-name suffix (e.g. "_d1") so D1 and D2
+        tables can be joined side by side.
 
     Returns a pandas DataFrame (rows = sequences + 'average', columns =
-    'bdrate vs <anchor>' / 'bdsnr vs <anchor>').
+    'bdrate<tag> vs <anchor>' / 'bdsnr<tag> vs <anchor>' [+ invalid...]).
     """
     import pandas as pd
     rows = {}
@@ -58,16 +93,23 @@ def bd_table(codec_curves, anchor_curves, d_metric="d1"):
         for aname, acurves in anchor_curves.items():
             if seq not in acurves:
                 continue
-            finite = pareto_front(acurves[seq])
-            cfin = pareto_front(curve)
-            if len(finite) < 2 or len(cfin) < 2:
-                continue
-            row[f"bdrate vs {aname}"] = bdrate(finite, cfin)
-            row[f"bdsnr vs {aname}"] = bdsnr(finite, cfin)
+            bd_r, bd_s, reason = bd_pair(
+                curve, acurves[seq], min_points=min_points,
+                min_overlap_db=min_overlap_db)
+            row[f"bdrate{metric_tag} vs {aname}"] = bd_r
+            row[f"bdsnr{metric_tag} vs {aname}"] = bd_s
+            if reason:
+                row[f"invalid{metric_tag} vs {aname}"] = reason
         rows[seq] = row
     df = pd.DataFrame(rows).T
     if len(df) and len(df.columns):
-        df.loc["average"] = df.mean()
+        # reason columns make the frame object-dtyped; coerce the BD
+        # columns back to float so the average is well-defined
+        for col in df.columns:
+            if not col.startswith("invalid"):
+                df[col] = pd.to_numeric(df[col], errors="coerce")
+        num = df.select_dtypes(include="number")
+        df.loc["average"] = num.mean()  # skipna: NaN pairs excluded
     return df
 
 
@@ -124,7 +166,9 @@ def write_published_context(published_csv, our_bd, out_md):
 
 def anchor_curve_cached(ply, seq_res, eval_dir, anchor_scales=None,
                         anchor_shifts=(1, 2, 3, 4)):
-    """Octree-anchor R-D curve for one input cloud, cached on disk.
+    """Octree-anchor R-D curves for one input cloud, cached on disk.
+
+    Returns {"d1": [(bpp, d1_psnr), ...], "d2": [(bpp, d2_psnr), ...]}.
 
     Anchor curves are pure functions of (cloud, res, ladder) and expensive
     (native octree + pc_error per rate point; minutes on multi-M-point
@@ -141,47 +185,54 @@ def anchor_curve_cached(ply, seq_res, eval_dir, anchor_scales=None,
     st = os.stat(ply)
     key = (f"{os.path.basename(ply)}_res{seq_res}"
            f"_sc{anchor_scales}_sh{tuple(anchor_shifts)}"
-           f"_{st.st_size}_{int(st.st_mtime)}")
+           f"_{st.st_size}_{int(st.st_mtime)}_v2")
     cache_dir = os.path.join(eval_dir, "anchor_cache")
     os.makedirs(cache_dir, exist_ok=True)
     cache_path = os.path.join(
         cache_dir, key.replace("/", "_").replace(" ", "") + ".json")
     if os.path.exists(cache_path):
         with open(cache_path) as f:
-            return [tuple(p) for p in json.load(f)]
+            cached = json.load(f)
+        return {m: [tuple(p) for p in pts_] for m, pts_ in cached.items()}
     pts, normals = load_ply_with_normals(ply)
     if normals is None:
         normals = estimate_normals(pts)
     rows = anchors.rd_curve(pts.astype(np.int64), normals,
                             seq_res, scales=anchor_scales,
                             shifts=anchor_shifts)
-    curve = [(r["bpp"], r["d1_psnr"]) for r in rows]
+    curves = {"d1": [(r["bpp"], r["d1_psnr"]) for r in rows],
+              "d2": [(r["bpp"], r["d2_psnr"]) for r in rows
+                     if "d2_psnr" in r]}
     with open(cache_path, "w") as f:
-        json.dump(curve, f)
-    return curve
+        json.dump(curves, f)
+    return curves
 
 
-def run_report(eval_dir, out_path, anchor_scales=None,
+def run_report(eval_dir, out_path, anchor_scales=(0.875, 0.75),
                inputs_dir=None, resolution=1024, published_csv=None,
                anchor_shifts=(1, 2, 3, 4)):
     """CLI driver: read all CSVs in eval_dir, compute octree-anchor curves
-    for the matching input PLYs when available, emit BD-rate table (CSV)
-    and comparison plots.
+    for the matching input PLYs when available, emit a gated BD-rate table
+    (CSV, D1 and D2 side by side) and comparison plots.
 
-    The anchor curve defaults to G-PCC-style octree depth truncation
-    (``anchor_shifts``; qscale = 2^-shift). Passing ``anchor_scales``
-    switches to the round-2 rescale ladder instead."""
+    The anchor ladder merges G-PCC-style octree depth truncation
+    (``anchor_shifts``; qscale = 2^-shift, covering the low-rate regime)
+    with fractional rescale points (``anchor_scales``; covering
+    63 dB..lossless at vox10 so the comparison interval overlaps the
+    trained codec's operating range — without them BD-rate vs the anchor
+    is extrapolation and the gates in ``bd_pair`` reject it)."""
     import glob
     import pandas as pd
 
-    codec_curves = {}
-    anchor_curves = {"octree": {}}
+    codec_curves = {"d1": {}, "d2": {}}
+    anchor_curves = {"d1": {"octree": {}}, "d2": {"octree": {}}}
     for csv in sorted(glob.glob(os.path.join(eval_dir, "*.csv"))):
         seq = os.path.splitext(os.path.basename(csv))[0]
         if seq.endswith("_bd"):
             continue
         try:
-            codec_curves[seq] = load_rd_csv(csv)
+            for m in ("d1", "d2"):
+                codec_curves[m][seq] = load_rd_csv(csv, m)
         except KeyError:
             # not an R-D CSV (e.g. a previously written BD table living
             # in the same directory) — skip, don't crash the report
@@ -198,13 +249,19 @@ def run_report(eval_dir, out_path, anchor_scales=None,
             for tok in seq.split("_"):
                 if tok.startswith("vox") and tok[3:].isdigit():
                     seq_res = 2 ** int(tok[3:])
-            anchor_curves["octree"][seq] = anchor_curve_cached(
+            acurves = anchor_curve_cached(
                 ply, seq_res, eval_dir, anchor_scales, anchor_shifts)
+            for m in ("d1", "d2"):
+                if acurves.get(m):
+                    anchor_curves[m]["octree"][seq] = acurves[m]
             compare_plot(
-                {"learned": codec_curves[seq],
-                 "octree anchor": anchor_curves["octree"][seq]},
+                {"learned": codec_curves["d1"][seq],
+                 "octree anchor": acurves["d1"]},
                 os.path.join(eval_dir, seq + "_vs_anchor.png"), seq)
-    df = bd_table(codec_curves, anchor_curves)
+    df = bd_table(codec_curves["d1"], anchor_curves["d1"],
+                  metric_tag="_d1").join(
+        bd_table(codec_curves["d2"], anchor_curves["d2"],
+                 metric_tag="_d2"))
     df.to_csv(out_path)
     if published_csv is None:
         cand = os.path.join(eval_dir, os.pardir, "reference_published",

@@ -30,7 +30,7 @@ def test_run_ablations_driver(tmp_path, monkeypatch):
     calls = []
 
     def fake_eval(name, input_file, cfg_path, out_root, res, mode, model,
-                  chunk, dtype, search_rho=False):
+                  chunk, dtype, search_rho=False, deadline=0):
         calls.append({"name": name, "mode": mode, "model": model,
                       "chunk": chunk, "cfg": cfg_path})
         # three synthetic rate points (the BD gate requires >=3 surviving
@@ -75,6 +75,85 @@ def test_run_ablations_driver(tmp_path, monkeypatch):
     assert row["bdrate_d1_pct"] < 0
     assert np.isfinite(row["bdsnr_d1_db"])
     assert os.path.exists(os.path.join(args.out, "ablation_bd.csv"))
+
+
+def test_run_ablations_reuse_skips_completed(tmp_path, monkeypatch):
+    """--reuse: a variant whose CSV already has every expected rate point
+    is not re-run; partial CSVs are (so a deadlined sweep can resume)."""
+    out = tmp_path / "abl"
+    calls = []
+
+    def fake_eval(name, input_file, cfg_path, out_root, res, mode, model,
+                  chunk, dtype, search_rho=False, deadline=0):
+        calls.append(name)
+        csv = os.path.join(out_root, name, "cloud.csv")
+        os.makedirs(os.path.dirname(csv), exist_ok=True)
+        with open(csv, "w") as f:
+            f.write("rate,bpp,d1_psnr,d2_psnr\n")
+            for i in range(3):
+                f.write(f"R{i+1},{0.1*(i+1)},{60+4*i},{62+4*i}\n")
+        return csv
+
+    monkeypatch.setattr(ablation, "_eval_variant", fake_eval)
+    # pre-seed hyper64 with a COMPLETE sweep (3 points = 2 ladder rungs +
+    # 1 extra scale) and hyper32 with a partial one
+    for name, rows in (("hyper64", 3), ("hyper32", 1)):
+        d = out / name
+        d.mkdir(parents=True)
+        with open(d / "cloud.csv", "w") as f:
+            f.write("rate,bpp,d1_psnr,d2_psnr\n")
+            for i in range(rows):
+                f.write(f"R{i+1},{0.1*(i+1)},{60+4*i},{62+4*i}\n")
+    args = argparse.Namespace(
+        input="cloud.ply", out=str(out), ladder="c1,c2",
+        factorized_ladder="", simple_ladder="", res=1024, cube_size=64,
+        min_num=64, chunk=64, dtype="bfloat16", search_rho=False,
+        extra_scales="0.625", reuse=True)
+    rows = ablation.run_ablations(args)
+    assert "hyper64" not in calls          # complete -> reused
+    assert "hyper32" in calls              # partial -> re-run
+    labels = {r["comparison"] for r in rows}
+    assert "cube64_vs_cube32" in labels
+
+
+def test_evalharness_deadline_stops_between_points(tmp_path, monkeypatch):
+    """run_eval stops BETWEEN rate points when the next one would overrun
+    the deadline, keeping the partial CSV (round-3 ADVICE)."""
+    import time
+
+    import pandas as pd
+
+    from pcgcv1_tpu import evalharness
+
+    ini = tmp_path / "r.ini"
+    ini.write_text("[DEFAULT]\ncube_size = 64\nmin_num = 64\n"
+                   + "".join(f"[R{i}]\nscale = 1.0\nckpt_dir = ck\n"
+                             for i in (1, 2, 3)))
+    ply = tmp_path / "cloud.ply"
+    ply.write_text("ply\nformat ascii 1.0\nelement vertex 1\n"
+                   "property float x\nproperty float y\nproperty float z\n"
+                   "end_header\n1 2 3\n")
+    monkeypatch.setattr(evalharness, "load_ply_with_normals",
+                        lambda p: (np.zeros((1, 3)), np.ones((1, 3))))
+
+    done = []
+
+    def fake_section(args, s, section, *rest):
+        done.append(section)
+        time.sleep(1.2)  # makes last_pt_wall ~1.2s < the 60s floor
+        return {"rate": section, "bpp": 0.1, "d1_psnr": 60.0,
+                "d2_psnr": 62.0}
+
+    monkeypatch.setattr(evalharness, "_eval_rate_section", fake_section)
+    args = argparse.Namespace(
+        input=str(ply), rootdir=str(tmp_path / "out"), cfgdir=str(ini),
+        res=1024, mode="hyper", modelname="voxception", chunk=64,
+        dtype="bfloat16", search_rho=False,
+        deadline=time.time() + 2.0)  # enough for R1 only (60s floor next)
+    evalharness.run_eval(args)
+    assert done == ["R1"]
+    df = pd.read_csv(tmp_path / "out" / "cloud.csv")
+    assert list(df["rate"]) == ["R1"]
 
 
 def test_run_ablations_deadline_gate(tmp_path, monkeypatch):

