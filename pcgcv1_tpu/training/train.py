@@ -351,42 +351,107 @@ class Trainer:
                                  abstract)
         raw_opt = raw.get("opt_state", [])
 
-        def graft(slot, raw_slot):
-            fields = getattr(type(slot), "_fields", None)
-            if fields is None or not isinstance(raw_slot, dict):
-                return slot
-            vals = {}
-            for f in fields:
-                cur = getattr(slot, f)
-                if f == "count":
-                    vals[f] = np.asarray(raw_slot.get(f, step),
-                                         np.asarray(cur).dtype)
-                elif f in raw_slot and _trees_shape_equal(cur, raw_slot[f]):
-                    vals[f] = jax.tree.map(np.asarray, raw_slot[f])
-                else:
-                    return slot
-            return type(slot)(**vals)
+        # Moment-harvest candidates: every dict in the raw tree that looks
+        # like an Adam slot (count+mu+nu). When the optimizer CHAIN SHAPE
+        # changed (plain adam <-> multi_transform, schedule slot added or
+        # dropped), the positional walk below can't line the slots up, but
+        # the moments still transfer wherever a candidate's mu/nu trees
+        # shape-match the fresh slot — e.g. a whole-params Adam checkpoint
+        # feeds both masked branches of a multi_transform resume (each
+        # takes its own leaf subset; masked-out leaves are MaskedNode).
+        adam_cands = []
 
-        grafted = []
-        for i, slot in enumerate(opt_state):
-            raw_slot = raw_opt[str(i)] if isinstance(raw_opt, dict) \
-                else (raw_opt[i] if i < len(raw_opt) else None)
-            fields = getattr(type(slot), "_fields", None)
-            if fields == ("count",) and not isinstance(raw_slot, dict):
-                # schedule-only state (just a step counter) absent from the
-                # checkpoint: seed its count from the restored step. States
-                # with moments (e.g. ScaleByAdamState) must NOT take this
-                # branch — seeding count while mu/nu stay zero would make
-                # bias correction treat zero moments as converged.
-                grafted.append(slot._replace(count=np.asarray(
-                    step, np.asarray(slot.count).dtype)))
-            else:
-                grafted.append(graft(slot, raw_slot))
+        def collect_adam(node):
+            if isinstance(node, dict):
+                if {"count", "mu", "nu"} <= set(node):
+                    adam_cands.append(node)
+                for v in node.values():
+                    collect_adam(v)
+            elif isinstance(node, (list, tuple)):
+                for v in node:
+                    collect_adam(v)
+
+        collect_adam(raw_opt)
+
+        def graft(skel, raw_node, fallback=True):
+            """Recursively fill the fresh opt-state skeleton from the raw
+            (untyped: namedtuple->dict, tuple->list-or-indexed-dict)
+            checkpoint tree. Returns (value, ok).
+
+            Moment-holding namedtuples (count + other fields, e.g.
+            ScaleByAdamState) are ATOMIC: either every field restores or
+            the whole slot stays fresh — restored mu with zero nu would
+            corrupt bias correction; a failed slot then tries the
+            harvested Adam candidates (shape-matched, fallback guards
+            against recursive re-harvesting). Container namedtuples
+            (MultiTransformState.inner_states, MaskedState.inner_state)
+            are not atomic: each child grafts independently, so e.g. the
+            'main' Adam moments survive an est-branch structure change.
+            A count-only state (pure schedule counter) missing from the
+            checkpoint is seeded from the restored step so a resumed
+            cosine doesn't restart its warmup.
+            """
+            fields = getattr(type(skel), "_fields", None)
+            if fields is not None:
+                if fields == ():          # e.g. EmptyState / MaskedNode
+                    return skel, True
+                raw_dict = raw_node if isinstance(raw_node, dict) else {}
+                if not raw_dict and fields == ("count",):
+                    return skel._replace(count=np.asarray(
+                        step, np.asarray(skel.count).dtype)), True
+                vals, ok = {}, True
+                for f in fields:
+                    cur = getattr(skel, f)
+                    if f == "count":
+                        vals[f] = np.asarray(raw_dict.get(f, step),
+                                             np.asarray(cur).dtype)
+                        continue
+                    vals[f], o = graft(cur, raw_dict.get(f), fallback)
+                    ok = ok and o
+                if ok:
+                    return type(skel)(**vals), True
+                if "count" not in fields:
+                    # container namedtuple: keep the children that DID
+                    # graft (they handled their own fallbacks)
+                    return type(skel)(**vals), False
+                if fallback and {"count", "mu", "nu"} <= set(fields):
+                    for cand in adam_cands:
+                        v, ok = graft(skel, cand, fallback=False)
+                        if ok:
+                            return v, True
+                return skel, False
+            if isinstance(skel, dict):
+                raw_dict = raw_node if isinstance(raw_node, dict) else {}
+                out, ok = {}, True
+                for k, v in skel.items():
+                    out[k], o = graft(v, raw_dict.get(k), fallback)
+                    ok = ok and o
+                return out, ok
+            if isinstance(skel, (list, tuple)):
+                if isinstance(raw_node, dict) and set(raw_node) == {
+                        str(i) for i in range(len(skel))}:
+                    raw_seq = [raw_node[str(i)] for i in range(len(skel))]
+                elif isinstance(raw_node, (list, tuple)) \
+                        and len(raw_node) == len(skel):
+                    raw_seq = list(raw_node)
+                else:
+                    raw_seq = [None] * len(skel)
+                out, ok = [], True
+                for s, r in zip(skel, raw_seq):
+                    g, o = graft(s, r, fallback)
+                    out.append(g)
+                    ok = ok and o
+                return type(skel)(out), ok
+            # array leaf
+            if raw_node is None \
+                    or tuple(np.shape(raw_node)) != tuple(np.shape(skel)):
+                return skel, False
+            return np.asarray(raw_node, np.asarray(skel).dtype), True
+
+        grafted, _ = graft(opt_state, raw_opt)
         print(f"schedule-tolerant resume from {self.cfg.ckpt_dir} "
               f"at step {int(step)}")
-        return {"params": params, "opt_state": type(opt_state)(grafted)
-                if not isinstance(opt_state, tuple) else tuple(grafted),
-                "step": step}
+        return {"params": params, "opt_state": grafted, "step": step}
 
     def save(self):
         # multi-host: the state is fully replicated across processes (DP

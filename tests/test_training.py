@@ -180,6 +180,41 @@ class TestTrainer:
         sched = tr3.state["opt_state"][-1]
         assert int(np.asarray(sched.count)) == 4
 
+    def test_resume_across_optimizer_partition(self, tmp_path):
+        """Resuming a plain-adam checkpoint with est_lr on (optax
+        multi_transform: the opt state root becomes a NAMEDTUPLE with an
+        inner_states dict, not a chain tuple) must graft, not crash —
+        round-4 regression: the flat graft demoted the namedtuple root to
+        a plain tuple and update() died on `.inner_states`."""
+        cfg = _tiny_cfg(tmp_path, lr_schedule="constant", num_iterations=20)
+        tr = Trainer(cfg)
+        ds = data.SyntheticCubeDataset(cube_size=16)
+        it = ds.batches(cfg.batch_size)
+        for _ in range(3):
+            tr.train_step(next(it))
+        tr.save()
+        cfg2 = _tiny_cfg(tmp_path, lr_schedule="constant",
+                         num_iterations=20, est_lr=5e-3)
+        tr2 = Trainer(cfg2)
+        assert int(tr2.state["step"]) == 3
+        inner = tr2.state["opt_state"].inner_states
+        # the 'main' branch grafted the saved Adam moments; both branches
+        # must be real typed states (update() would crash otherwise)
+        main_moments = [np.abs(np.asarray(m)).sum()
+                        for m in jax.tree.leaves(inner["main"])]
+        assert sum(main_moments) > 0
+        loss = float(tr2.train_step(next(it))["loss"])
+        assert np.isfinite(loss)
+        assert int(tr2.state["step"]) == 4
+        # reverse direction: est_lr checkpoint -> plain adam resume
+        tr2.save()
+        cfg3 = _tiny_cfg(tmp_path, lr_schedule="constant",
+                         num_iterations=20)
+        tr3 = Trainer(cfg3)
+        assert int(tr3.state["step"]) == 4
+        loss = float(tr3.train_step(next(it))["loss"])
+        assert np.isfinite(loss)
+
     def test_resume_wrong_model_raises(self, tmp_path):
         """A checkpoint whose params tree doesn't match the current model
         (e.g. resuming a factorized ckpt as hyper, or a different model)
