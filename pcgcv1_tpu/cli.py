@@ -320,13 +320,20 @@ def cmd_report(args):
               if args.anchor_scales else (0.875, 0.75))
     if args.anchor_scales == "none":
         scales = None
+    if args.gpcc_trisoup == "none":
+        tsoup = ()
+    elif args.gpcc_trisoup:
+        tsoup = tuple(int(s) for s in args.gpcc_trisoup.split(","))
+    else:
+        tsoup = (2, 3, 4)
     df = report.run_report(args.eval_dir, out,
                            inputs_dir=args.inputs_dir or None,
                            resolution=args.res,
                            published_csv=args.published_csv or None,
                            anchor_scales=scales,
                            anchor_shifts=tuple(
-                               int(s) for s in args.anchor_shifts.split(",")))
+                               int(s) for s in args.anchor_shifts.split(",")),
+                           trisoup_log2s=tsoup)
     print(df.round(2))
     print(f"wrote {out}")
 
@@ -527,6 +534,11 @@ def main(argv=None):
                          "the depth-truncation ladder so the anchor "
                          "covers the codec's 63dB+ operating range "
                          "(default 0.875,0.75; 'none' disables)")
+    pr.add_argument("--gpcc_trisoup", default="",
+                    help="G-PCC trisoup anchor node sizes (log2) driven "
+                         "through the MPEG TMC13 binary when present "
+                         "(default 2,3,4; 'none' disables; no-op without "
+                         "a binary — see codec/gpcc.py)")
     pr.set_defaults(fn=cmd_report)
 
     pm = sub.add_parser("mesh2pc", help="mesh -> voxelized point cloud")

@@ -135,7 +135,36 @@ def compare_plot(curves, path, title="", d_label="D1 PSNR (dB)"):
     plt.close(fig)
 
 
-def write_published_context(published_csv, our_bd, out_md):
+def curve_spans_md(codec_curves, anchor_curves):
+    """Markdown table of each curve's rate/quality span per sequence.
+
+    BD-rate integrates over the COMMON quality interval only, so a pair's
+    sign can invert with the interval: e.g. G-PCC trisoup on perfectly
+    smooth mesh-sampled content dominates below its quality ceiling but
+    *saturates* there (more bits stop buying quality), and the learned
+    codec's top rungs live above that ceiling where no comparison is
+    possible. Publishing the spans next to the BD numbers keeps the
+    interval limitation visible instead of letting a single percentage
+    stand in for the whole R-D relationship.
+    """
+    lines = ["| sequence | curve | bpp span | D1 span (dB) |",
+             "|:--|:--|--:|--:|"]
+    for seq, curve in codec_curves.items():
+        rows = [("learned", curve)]
+        for aname, acurves in anchor_curves.items():
+            if seq in acurves:
+                rows.append((aname, acurves[seq]))
+        for name, pts in rows:
+            front = pareto_front(pts)
+            if not front:
+                continue
+            lines.append(
+                f"| {seq} | {name} | {front[0][0]:.3f}-{front[-1][0]:.3f} "
+                f"| {front[0][1]:.1f}-{front[-1][1]:.1f} |")
+    return "\n".join(lines)
+
+
+def write_published_context(published_csv, our_bd, out_md, extra_md=""):
     """Fold the reference's *published* anchor comparisons into the report.
 
     The reference's `results.ipynb` (cells 22-26) reports BD-rates of
@@ -151,9 +180,16 @@ def write_published_context(published_csv, our_bd, out_md):
     overall = pub.mean(numeric_only=True).round(2)
     with open(out_md, "w") as f:
         f.write("# BD-rate context\n\n")
-        f.write("## Measured here (this framework vs its own octree "
-                "anchor, synthetic eval cloud)\n\n")
+        f.write("## Measured here (this framework vs its anchors: native "
+                "octree; MPEG TMC13 octree/trisoup when the binary runs)"
+                "\n\n")
         f.write(our_bd.round(2).to_markdown() + "\n\n")
+        if extra_md:
+            f.write("## Curve spans (BD integrates the COMMON quality "
+                    "interval only — anchors that saturate below the "
+                    "codec's top rungs are compared inside their "
+                    "reachable band)\n\n")
+            f.write(extra_md + "\n\n")
         f.write("## Published by the reference (results.ipynb cells "
                 "22-26; PCGCv1 vs MPEG anchors on 8iVFB/MVUB/Owlii — "
                 "static import, NOT measured in this repo)\n\n")
@@ -208,9 +244,52 @@ def anchor_curve_cached(ply, seq_res, eval_dir, anchor_scales=None,
     return curves
 
 
+def gpcc_curve_cached(ply, seq_res, eval_dir, qscales=(),
+                      trisoup_log2s=(), tag="gpcc"):
+    """G-PCC anchor curves via the MPEG TMC13 binary, cached on disk.
+
+    Drives either role (octree ``qscales`` / trisoup ``trisoup_log2s`` —
+    the reference's published tables compare PCGCv1 against both) and
+    scores with the same pc_error as every other curve. Returns
+    {"d1": [...], "d2": [...]} or None when no TMC13 binary is on the
+    host (codec/gpcc.py). Pass >=3 rungs per role — `bd_pair` gates out
+    shorter curves.
+    """
+    import json
+    from pcgcv1_tpu.codec import gpcc
+    from pcgcv1_tpu.metrics import estimate_normals
+    from pcgcv1_tpu.ops import load_ply_with_normals
+
+    if not gpcc.available():
+        return None
+    st = os.stat(ply)
+    key = (f"{os.path.basename(ply)}_res{seq_res}_{tag}"
+           f"_q{tuple(qscales)}_t{tuple(trisoup_log2s)}"
+           f"_{st.st_size}_{int(st.st_mtime)}_v1")
+    cache_dir = os.path.join(eval_dir, "anchor_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache_path = os.path.join(
+        cache_dir, key.replace("/", "_").replace(" ", "") + ".json")
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            cached = json.load(f)
+        return {m: [tuple(p) for p in pts_] for m, pts_ in cached.items()}
+    pts, normals = load_ply_with_normals(ply)
+    if normals is None:
+        normals = estimate_normals(pts)
+    rows = gpcc.rd_curve(pts.astype(np.int64), normals, seq_res,
+                         qscales=qscales, trisoup_log2s=trisoup_log2s)
+    curves = {"d1": [(r["bpp"], r["d1_psnr"]) for r in rows],
+              "d2": [(r["bpp"], r["d2_psnr"]) for r in rows]}
+    with open(cache_path, "w") as f:
+        json.dump(curves, f)
+    return curves
+
+
 def run_report(eval_dir, out_path, anchor_scales=(0.875, 0.75),
                inputs_dir=None, resolution=1024, published_csv=None,
-               anchor_shifts=(1, 2, 3, 4)):
+               anchor_shifts=(1, 2, 3, 4), trisoup_log2s=(2, 3, 4),
+               gpcc_qscales=(0.125, 0.25, 0.5, 0.75, 0.875)):
     """CLI driver: read all CSVs in eval_dir, compute octree-anchor curves
     for the matching input PLYs when available, emit a gated BD-rate table
     (CSV, D1 and D2 side by side) and comparison plots.
@@ -254,9 +333,27 @@ def run_report(eval_dir, out_path, anchor_scales=(0.875, 0.75),
             for m in ("d1", "d2"):
                 if acurves.get(m):
                     anchor_curves[m]["octree"][seq] = acurves[m]
+            overlay = {"learned": codec_curves["d1"][seq],
+                       "octree anchor": acurves["d1"]}
+            # the real MPEG codec in both its roles, when the binary runs
+            # on this host (reference results.ipynb compares against both)
+            for aname, label, kw in (
+                    ("gpcc-octree", "G-PCC octree (tmc3)",
+                     {"qscales": gpcc_qscales}),
+                    ("gpcc-trisoup", "G-PCC trisoup (tmc3)",
+                     {"trisoup_log2s": trisoup_log2s})):
+                if not list(kw.values())[0]:
+                    continue
+                gcurves = gpcc_curve_cached(
+                    ply, seq_res, eval_dir, tag=aname, **kw)
+                if gcurves:
+                    for m in ("d1", "d2"):
+                        if gcurves.get(m):
+                            anchor_curves[m].setdefault(
+                                aname, {})[seq] = gcurves[m]
+                    overlay[label] = gcurves["d1"]
             compare_plot(
-                {"learned": codec_curves["d1"][seq],
-                 "octree anchor": acurves["d1"]},
+                overlay,
                 os.path.join(eval_dir, seq + "_vs_anchor.png"), seq)
     df = bd_table(codec_curves["d1"], anchor_curves["d1"],
                   metric_tag="_d1").join(
@@ -270,5 +367,6 @@ def run_report(eval_dir, out_path, anchor_scales=(0.875, 0.75),
     if published_csv:
         write_published_context(
             published_csv, df,
-            os.path.splitext(out_path)[0] + "_context.md")
+            os.path.splitext(out_path)[0] + "_context.md",
+            extra_md=curve_spans_md(codec_curves["d1"], anchor_curves["d1"]))
     return df

@@ -3,11 +3,14 @@
 # toward reference training discipline). Continues each release rung IN
 # PLACE (the rd_release INIs keep pointing at the same dirs) with the
 # validated recipe: STE (rounding-aware) at constant lr, batch 32, fast
-# factorized-density optimizer. Targets (from current steps):
-#   r2_a0.75b3  8.5k -> 15k   (lr 1e-5: low-alpha STE is the fragile one)
-#   r2_a2b3    11.5k -> 20k
-#   r2_a6b3    12.0k -> 20k
+# factorized-density optimizer. Targets (from current steps; trimmed to
+# ~19.5k total steps = ~4.3h at the measured 1.26 steps/s so the eval
+# re-sweep still fits in the round; a16 runs FIRST — the top rung sets
+# the ladder's quality ceiling and the D1 spread):
 #   r2_a16b3   23.0k -> 30k
+#   r2_a6b3    12.0k -> 17k
+#   r2_a2b3    11.5k -> 16k
+#   r2_a0.75b3  8.5k -> 11.5k (lr 1e-5: low-alpha STE is the fragile one)
 #
 # MUST NOT run concurrently with an eval sweep over the same checkpoints
 # (rate points restore `latest` — mid-sweep updates would mix rungs).
@@ -42,13 +45,13 @@ train_rung() {
     while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
   fi
   train_rung checkpoints/r2_a16b3  16   30000 2e-5
-  train_rung checkpoints/r2_a6b3   6    20000 2e-5
-  train_rung checkpoints/r2_a2b3   2    20000 2e-5
-  train_rung checkpoints/r2_a0.75b3 0.75 15000 1e-5
+  train_rung checkpoints/r2_a6b3   6    17000 2e-5
+  train_rung checkpoints/r2_a2b3   2    16000 2e-5
+  train_rung checkpoints/r2_a0.75b3 0.75 11500 1e-5
   echo "[4t] $(date -u +%H:%M:%S) done"
 } > "$LOG" 2>&1
 
 git add -A checkpoints/r2_a16b3 checkpoints/r2_a6b3 checkpoints/r2_a2b3 \
   checkpoints/r2_a0.75b3 "$LOG"
-git commit -m "Round-4 release-ladder STE top-ups (a16->30k, a6/a2->20k, a0.75->15k steps)" \
+git commit -m "Round-4 release-ladder STE top-ups (a16->30k, a6->17k, a2->16k, a0.75->11.5k steps)" \
   || echo "[4t] commit failed or nothing to commit" >> "$LOG"

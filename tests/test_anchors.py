@@ -122,3 +122,28 @@ def test_anchor_matches_mpeg_tmc3(surface_cloud, tmp_path):
         # and per-stream overheads show
         assert 0.8 < row["bpp_ratio"] < 1.25, row
         assert abs(row["d1_delta_db"]) < 0.5, row
+
+
+@pytest.mark.skipif(not __import__("os").access(TMC3_BIN, 1),
+                    reason="MPEG tmc3 binary unavailable")
+def test_gpcc_trisoup_anchor_role(surface_cloud, tmp_path):
+    """codec/gpcc.py drives TMC13 in both anchor roles (octree qscale and
+    trisoup surface triangulation — the reference's stronger published
+    MPEG anchor on dense smooth scans) and scores with the repo's
+    pc_error: finite PSNRs and plausible rates. (No cross-role quality
+    ordering is asserted: on this noisy-shell fixture triangulation loses
+    to plain octree; on mesh-sampled release clouds it wins.)"""
+    from pcgcv1_tpu.codec import gpcc
+    from pcgcv1_tpu.metrics import estimate_normals
+
+    assert gpcc.available()
+    normals = estimate_normals(surface_cloud)
+    rows = gpcc.rd_curve(surface_cloud.astype(np.int64), normals, 512,
+                         qscales=(0.5,), trisoup_log2s=(2,))
+    assert len(rows) == 2
+    octree, trisoup = rows
+    assert octree["qscale"] == 0.5 and trisoup["trisoup"] == 2
+    for r in rows:
+        assert 0 < r["bpp"] < 16
+        assert np.isfinite(r["d1_psnr"]) and np.isfinite(r["d2_psnr"])
+        assert r["d1_psnr"] > 40  # both roles reconstruct the geometry
