@@ -344,8 +344,16 @@ def run_report(eval_dir, out_path, anchor_scales=(0.875, 0.75),
                      {"trisoup_log2s": trisoup_log2s})):
                 if not list(kw.values())[0]:
                     continue
-                gcurves = gpcc_curve_cached(
-                    ply, seq_res, eval_dir, tag=aname, **kw)
+                try:
+                    gcurves = gpcc_curve_cached(
+                        ply, seq_res, eval_dir, tag=aname, **kw)
+                except Exception as e:  # noqa: BLE001
+                    # the MPEG binary choking on one cloud (degenerate/
+                    # tiny inputs) must not kill the whole report — the
+                    # native anchor column still stands
+                    print(f"{aname} anchor failed on {seq}: "
+                          f"{type(e).__name__}: {e}")
+                    gcurves = None
                 if gcurves:
                     for m in ("d1", "d2"):
                         if gcurves.get(m):
