@@ -156,3 +156,37 @@ def test_run_report_vox_resolution_and_tag(tmp_path, monkeypatch):
     report.run_report(str(eval_dir), str(eval_dir / "bd.csv"),
                       inputs_dir=str(inputs), resolution=1024)
     assert seen["count"] == 0
+
+
+def test_gpcc_curve_cached_roundtrip(tmp_path, monkeypatch):
+    """gpcc_curve_cached computes once via codec/gpcc.rd_curve, writes a
+    JSON cache keyed by cloud identity + rungs, and serves the cache on
+    the second call without touching the binary."""
+    from pcgcv1_tpu.codec import gpcc
+    from pcgcv1_tpu.ops import write_ply
+
+    ply = tmp_path / "c.ply"
+    pts = np.stack(np.meshgrid(*[np.arange(8)] * 3), -1).reshape(-1, 3)
+    write_ply(str(ply), pts.astype(np.int32))
+    calls = {"n": 0}
+
+    def fake_rd(points, normals, resolution, qscales=(), trisoup_log2s=()):
+        calls["n"] += 1
+        assert tuple(trisoup_log2s) == (2, 3)
+        return [{"trisoup": t, "bpp": 1.0 / t, "d1_psnr": 50.0 + t,
+                 "d2_psnr": 52.0 + t} for t in trisoup_log2s]
+
+    monkeypatch.setattr(gpcc, "available", lambda: True)
+    monkeypatch.setattr(gpcc, "rd_curve", fake_rd)
+    c1 = report.gpcc_curve_cached(str(ply), 1024, str(tmp_path),
+                                  trisoup_log2s=(2, 3), tag="gpcc-trisoup")
+    c2 = report.gpcc_curve_cached(str(ply), 1024, str(tmp_path),
+                                  trisoup_log2s=(2, 3), tag="gpcc-trisoup")
+    assert calls["n"] == 1          # second call served from cache
+    assert c1 == c2
+    assert c1["d1"] == [(0.5, 52.0), (1.0 / 3.0, 53.0)]
+    # no binary -> None (callers fall back to the native anchor column)
+    monkeypatch.setattr(gpcc, "available", lambda: False)
+    assert report.gpcc_curve_cached(
+        str(ply), 1024, str(tmp_path), trisoup_log2s=(4,),
+        tag="gpcc-trisoup") is None
