@@ -22,7 +22,7 @@ LOG=artifacts/round4_eval.log
 
   # re-sweep with final weights; INI regen inside eval_release.sh keeps
   # cached rho for unchanged (scale, ckpt_dir) sections
-  SKIP_STE_FT=1 EVAL_FLAGS="" timeout $((DEADLINE - $(date +%s) - 900)) \
+  SKIP_STE_FT=1 EVAL_FLAGS=" " timeout $((DEADLINE - $(date +%s) - 900)) \
     bash scripts/eval_release.sh || echo "[4e] eval rc=$?"
 
   echo "[4e] $(date -u +%H:%M:%S) report"
