@@ -99,6 +99,9 @@ def main():
     # (models/subpixel.py) and keeps the faster-median decode
     deconv_env = os.environ.get("PCGC_BENCH_DECONV", "probe")
     deconv = "xla" if deconv_env == "probe" else deconv_env
+    # rANS interleave width (stream-recorded, so decode follows encode):
+    # more lanes = fewer serial scan steps at +4 B/lane flush
+    lanes = int(os.environ.get("PCGC_BENCH_LANES", "1024"))
     import jax.numpy as jnp
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -128,7 +131,7 @@ def main():
     def make_codec(c, use_coder, use_deconv=None):
         return PointCloudCodec(mode="hyper", chunk=c, dtype=dtype,
                                coder=use_coder, ckpt_dir=ckpt,
-                               mask_wire=mask_wire, vrn=vrn,
+                               mask_wire=mask_wire, vrn=vrn, lanes=lanes,
                                deconv=use_deconv or deconv)
 
     codec = make_codec(chunk, coder)

@@ -150,6 +150,13 @@ COMPARISONS = [
 
 
 def run_ablations(args):
+    """Run the suite; returns (bd_rows, exit_status). exit_status is 0
+    when every attempted variant and BD computation succeeded, 1 when a
+    variant raised or a BD row failed to compute — deadline skips are
+    planned degradation, not failure. (Round-4 VERDICT weak #6: the CLI
+    chains must see the real status; the round-4 sweep logged "rc=1" on
+    a green run because cli.main sys.exit()'d this function's row list.)"""
+    failures = []
     ladders = {
         "ladder": [s for s in args.ladder.split(",") if s],
         "factorized_ladder": [s for s in (args.factorized_ladder or
@@ -216,6 +223,7 @@ def run_ablations(args):
             import traceback
             print(f"[ablate] {name} FAILED: {e!r}\n"
                   f"{traceback.format_exc()}")
+            failures.append(f"variant {name}: {e!r}")
             # the harness flushes its CSV per rate point: salvage the
             # completed rows (the BD gates below decide if they suffice)
             partial = os.path.join(args.out, name, base + ".csv")
@@ -244,9 +252,12 @@ def run_ablations(args):
                 print(f"[ablate] {label}: NOT well-posed — {row['reason']}")
         except Exception as e:  # noqa: BLE001
             print(f"[ablate] {label} BD computation failed: {e!r}")
+            failures.append(f"bd {label}: {e!r}")
     if rows:
         import pandas as pd
         out_csv = os.path.join(args.out, "ablation_bd.csv")
         pd.DataFrame(rows).to_csv(out_csv, index=False)
         print(f"[ablate] wrote {out_csv}")
-    return rows
+    if failures:
+        print(f"[ablate] FAILURES ({len(failures)}): " + "; ".join(failures))
+    return rows, (1 if failures else 0)

@@ -498,8 +498,10 @@ def main(argv=None):
                     help="reuse a variant's completed CSV from a previous "
                          "sweep (same --out) instead of re-running it; "
                          "the BD table is recomputed either way")
+    # exit-status contract: run_ablations returns (rows, status)
     pa.set_defaults(fn=lambda a: __import__(
-        "pcgcv1_tpu.ablation", fromlist=["run_ablations"]).run_ablations(a))
+        "pcgcv1_tpu.ablation",
+        fromlist=["run_ablations"]).run_ablations(a)[1])
 
     pg = sub.add_parser("gen-dataset", help="PLYs -> per-cube shards")
     pg.add_argument("--input", required=True, help="glob of PLY files")
@@ -552,7 +554,13 @@ def main(argv=None):
     pm.set_defaults(fn=cmd_mesh2pc)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    rc = args.fn(args)
+    # Exit-status contract: handlers return an int status (0 = success) or
+    # None/payload (= success). Returning a truthy non-int payload (e.g.
+    # run_ablations' row list) must NOT turn into a nonzero exit — that is
+    # how a fully successful round-4 ablation sweep logged "rc=1"
+    # (artifacts/round4_ablate.log) and masked the chain's real status.
+    return rc if isinstance(rc, int) else 0
 
 
 if __name__ == "__main__":

@@ -616,28 +616,35 @@ class PointCloudCodec:
     def _fetch_packed(self, packed_dev):
         """Start the D2H fetch of one chunk's bit-packed masks, honoring
         mask_wire: 'packed' downloads the bytes; 'rans' entropy-codes them
-        on device first (maskenc program) and downloads the unit."""
+        on device first (maskenc program) and downloads the unit.
+
+        The FULL word buffer is async-copied at dispatch time (round-5
+        decode fix): the old path fetched only (count, states, hist)
+        async and then, at collect time, dispatched a device-side
+        ``words[:count]`` slice plus a BLOCKING download — one extra
+        relay round trip per chunk, serialized after all compute, which
+        the per-direction decode numbers were paying for. The buffer's
+        zero tail costs little on the compressing relay wire, and the
+        copy overlaps later chunks' compute like every other download."""
         if self.mask_wire != "rans":
             return ("raw", self._start_fetch(packed_dev))
         shape = packed_dev.shape
-        words, count, states, hist = self._jitted(
-            f"maskenc:{shape[0]}")(self.params, packed_dev)
-        return ("rans", words, self._start_fetch((count, states, hist)),
-                shape)
+        out = self._jitted(f"maskenc:{shape[0]}")(self.params, packed_dev)
+        return ("rans", self._start_fetch(out), shape)
 
     def _collect_packed(self, fut):
         """Resolve one _fetch_packed future to host packed-mask bytes."""
         if fut[0] == "raw":
             return np.asarray(jax.device_get(fut[1]))
-        _, words_dev, (count, states, hist), shape = fut
+        _, (words, count, states, hist), shape = fut
         cnt = int(np.asarray(count))
-        if cnt > words_dev.shape[0]:
+        if cnt > words.shape[0]:
             raise OverflowError(
                 f"mask-wire word buffer overflow ({cnt} > cap "
-                f"{words_dev.shape[0]}) — should be impossible, see "
+                f"{words.shape[0]}) — should be impossible, see "
                 "_mask_cap")
-        words = np.asarray(jax.device_get(words_dev[:cnt]))
-        out = native.rans_mask_decode(words, np.asarray(states),
+        wh = np.asarray(jax.device_get(words))[:cnt]
+        out = native.rans_mask_decode(wh, np.asarray(states),
                                       np.asarray(hist),
                                       int(np.prod(shape)))
         return out.reshape(shape)
@@ -825,10 +832,13 @@ class PointCloudCodec:
                                    states, ptr, *ex, *scalars)
             futs.append(self._fetch_packed(out) if final == "classify"
                         else self._start_fetch(out))
-        rans.check_final_states(states)
         if final == "classify":
-            return np.concatenate(
+            # masks first, integrity check after (see _decode_hyper_device)
+            masks = np.concatenate(
                 [self._collect_packed(f) for f in futs], axis=0)
+            rans.check_final_states(states)
+            return masks
+        rans.check_final_states(states)
         return _tree_concat([jax.device_get(f) for f in futs])
 
     def decompress_factorized(self, strings, min_v, max_v, shape):
@@ -1190,12 +1200,20 @@ class PointCloudCodec:
                                    ybase, lq, sq, *ex, *scalars)
             futs.append(self._fetch_packed(out) if final == "classify"
                         else self._start_fetch(out))
+        if final == "classify":
+            # collect masks BEFORE the integrity fetch: the state check
+            # can only resolve after the LAST chunk's compute, while the
+            # first chunks' mask downloads + host C++ mask decodes can
+            # overlap the remaining device work right now
+            masks = np.concatenate(
+                [self._collect_packed(f) for f in futs], axis=0)[:b]
+            rans.check_final_states(states)
+            if z_device:
+                rans.check_final_states(zstates)
+            return masks
         rans.check_final_states(states)
         if z_device:
             rans.check_final_states(zstates)
-        if final == "classify":
-            return np.concatenate(
-                [self._collect_packed(f) for f in futs], axis=0)[:b]
         out = _tree_concat([jax.device_get(f) for f in futs])
         return jax.tree.map(lambda a: a[:b], out)
 

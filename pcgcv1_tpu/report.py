@@ -263,9 +263,14 @@ def gpcc_curve_cached(ply, seq_res, eval_dir, qscales=(),
     if not gpcc.available():
         return None
     st = os.stat(ply)
+    # the key covers the TMC13 binary identity too (size+mtime of the
+    # resolved PCGC_TMC3 path): a different tmc3 build must not be served
+    # a stale anchor curve (round-4 ADVICE)
+    bst = os.stat(gpcc.binary())
     key = (f"{os.path.basename(ply)}_res{seq_res}_{tag}"
            f"_q{tuple(qscales)}_t{tuple(trisoup_log2s)}"
-           f"_{st.st_size}_{int(st.st_mtime)}_v1")
+           f"_{st.st_size}_{int(st.st_mtime)}"
+           f"_b{bst.st_size}.{int(bst.st_mtime)}_v1")
     cache_dir = os.path.join(eval_dir, "anchor_cache")
     os.makedirs(cache_dir, exist_ok=True)
     cache_path = os.path.join(

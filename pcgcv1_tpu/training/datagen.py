@@ -206,21 +206,105 @@ def sample_mesh_points(vertices, faces, n_points=400_000, rng=None,
     return pts, nrm
 
 
+def apply_scan_noise(pts, normals, rng, jitter=0.7, n_views=3,
+                     backface_keep=0.15, holes=12, hole_radius=0.012,
+                     density_waves=4):
+    """Scanner realism for mesh-sampled clouds, in GRID coordinates.
+
+    Mesh-sampled surfaces are perfectly smooth and uniformly dense —
+    trisoup's best case and nothing like the 8iVFB scans the reference
+    evaluates on (its scanned humans carry ~0.5-1 voxel of surface noise,
+    view-dependent density, and occlusion holes). This models that:
+
+      - per-point displacement along the surface normal, sigma ``jitter``
+        voxels, plus a smaller isotropic component (sensor depth noise);
+      - limited scanner coverage: ``n_views`` random viewpoints; a point
+        whose normal faces away from every viewpoint survives only with
+        probability ``backface_keep`` (coverage gaps where no scanner
+        saw the surface);
+      - occlusion holes: ``holes`` random patches of radius
+        ``hole_radius`` x extent are dropped entirely;
+      - low-frequency density variation: a random smooth field modulates
+        the keep probability (scan-line / distance falloff texture).
+
+    Returns (noisy_pts float [M,3], normals [M,3]) for the surviving
+    points; the source-face normal is kept as the D2 ground truth (the
+    underlying surface orientation, which is what a scanner's normal
+    channel approximates).
+    """
+    pts = np.asarray(pts, np.float64)
+    normals = np.asarray(normals, np.float64)
+    n = len(pts)
+    extent = float(pts.max() - pts.min()) or 1.0
+    center = pts.mean(axis=0)
+
+    keep = np.ones(n, bool)
+    # limited coverage: random viewpoints far outside the cloud
+    if n_views > 0:
+        dirs = rng.normal(size=(n_views, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        views = center + dirs * (2.5 * extent)
+        seen = np.zeros(n, bool)
+        for v in views:
+            to_view = v - pts
+            seen |= (to_view * normals).sum(axis=1) > 0
+        keep &= seen | (rng.random(n) < backface_keep)
+    # low-frequency density field
+    if density_waves > 0:
+        w = rng.normal(size=(density_waves, 3))
+        w /= np.linalg.norm(w, axis=1, keepdims=True)
+        freq = rng.uniform(2.0, 6.0, density_waves) * (2 * np.pi / extent)
+        phase = rng.uniform(0, 2 * np.pi, density_waves)
+        field = np.mean(np.cos(pts @ (w.T * freq) + phase), axis=1)
+        keep &= rng.random(n) < np.clip(0.75 + 0.45 * field, 0.2, 1.0)
+    # occlusion holes
+    if holes > 0 and keep.any():
+        idx = np.flatnonzero(keep)
+        centers = pts[rng.choice(idx, size=min(holes, len(idx)),
+                                 replace=False)]
+        r2 = (hole_radius * extent) ** 2
+        for c in centers:
+            keep &= ((pts - c) ** 2).sum(axis=1) > r2
+    pts = pts[keep]
+    normals = normals[keep]
+    # depth noise: along-normal + smaller isotropic jitter (voxel units)
+    pts = (pts + normals * rng.normal(0, jitter, len(pts))[:, None]
+           + rng.normal(0, 0.35 * jitter, pts.shape))
+    return pts, normals
+
+
 def mesh_to_cloud(path, n_points=400_000, resolution=255, rotate=True,
-                  rng=None):
+                  rng=None, scan_noise=False, return_normals=False,
+                  **noise_kw):
     """Mesh file -> voxelized int point cloud in [0, resolution]
     (reference mesh2pc.py:56-89 pipeline: sample, rotate, normalize to the
-    grid, round, dedupe)."""
+    grid, round, dedupe).
+
+    ``scan_noise=True`` applies :func:`apply_scan_noise` in grid
+    coordinates before quantization (``**noise_kw`` forwarded).
+    ``return_normals=True`` also returns the per-voxel unit mesh normal
+    (first sample surviving dedup) for D2 scoring.
+    """
     rng = rng or np.random.default_rng()
     verts, faces = load_mesh(path)
-    pts = sample_mesh_points(verts, faces, n_points, rng)
+    pts, nrm = sample_mesh_points(verts, faces, n_points, rng,
+                                  return_normals=True)
     if rotate:
-        pts = pts @ random_rotation(rng).T
+        rot = random_rotation(rng)
+        pts = pts @ rot.T
+        nrm = nrm @ rot.T
     pts = pts - pts.min(axis=0)
     extent = pts.max()
     if extent > 0:
         pts = pts * (resolution / extent)
-    return np.unique(np.round(pts), axis=0).astype(np.int32)
+    if scan_noise:
+        pts, nrm = apply_scan_noise(pts, nrm, rng, **noise_kw)
+        pts = np.clip(pts, 0, resolution)
+    qpts, idx = np.unique(np.round(pts), axis=0, return_index=True)
+    qpts = qpts.astype(np.int32)
+    if return_normals:
+        return qpts, nrm[idx]
+    return qpts
 
 
 # --------------------------- shard generation -------------------------------

@@ -359,21 +359,35 @@ class Trainer:
         # shape-match the fresh slot — e.g. a whole-params Adam checkpoint
         # feeds both masked branches of a multi_transform resume (each
         # takes its own leaf subset; masked-out leaves are MaskedNode).
-        adam_cands = []
+        adam_cands = []   # (path, node) pairs
 
-        def collect_adam(node):
+        def collect_adam(node, path=()):
             if isinstance(node, dict):
                 if {"count", "mu", "nu"} <= set(node):
-                    adam_cands.append(node)
-                for v in node.values():
-                    collect_adam(v)
+                    adam_cands.append((path, node))
+                for k, v in node.items():
+                    collect_adam(v, path + (str(k),))
             elif isinstance(node, (list, tuple)):
-                for v in node:
-                    collect_adam(v)
+                for i, v in enumerate(node):
+                    collect_adam(v, path + (str(i),))
 
         collect_adam(raw_opt)
 
-        def graft(skel, raw_node, fallback=True):
+        def _path_affinity(cand_path, slot_path):
+            """Length of the common suffix of two key paths — the branch
+            labels ('main'/'est', masked-state indices) live near the
+            leaf, so a matching suffix means the candidate came from the
+            corresponding branch, not just any same-shaped one
+            (round-4 ADVICE: a pure shape match can silently transfer
+            the wrong branch's moments)."""
+            n = 0
+            for a, b in zip(reversed(cand_path), reversed(slot_path)):
+                if a != b:
+                    break
+                n += 1
+            return n
+
+        def graft(skel, raw_node, fallback=True, path=()):
             """Recursively fill the fresh opt-state skeleton from the raw
             (untyped: namedtuple->dict, tuple->list-or-indexed-dict)
             checkpoint tree. Returns (value, ok).
@@ -406,7 +420,8 @@ class Trainer:
                         vals[f] = np.asarray(raw_dict.get(f, step),
                                              np.asarray(cur).dtype)
                         continue
-                    vals[f], o = graft(cur, raw_dict.get(f), fallback)
+                    vals[f], o = graft(cur, raw_dict.get(f), fallback,
+                                       path + (f,))
                     ok = ok and o
                 if ok:
                     return type(skel)(**vals), True
@@ -415,16 +430,26 @@ class Trainer:
                     # graft (they handled their own fallbacks)
                     return type(skel)(**vals), False
                 if fallback and {"count", "mu", "nu"} <= set(fields):
-                    for cand in adam_cands:
+                    # try path-corresponding candidates first (common key
+                    # suffix with this slot), shape-only matches last
+                    ordered = sorted(
+                        adam_cands,
+                        key=lambda pc: -_path_affinity(pc[0], path))
+                    for cpath, cand in ordered:
                         v, ok = graft(skel, cand, fallback=False)
                         if ok:
+                            print("resume graft: Adam slot "
+                                  f"{'/'.join(path) or '<root>'} <- "
+                                  f"checkpoint {'/'.join(cpath)} "
+                                  f"(affinity {_path_affinity(cpath, path)})")
                             return v, True
                 return skel, False
             if isinstance(skel, dict):
                 raw_dict = raw_node if isinstance(raw_node, dict) else {}
                 out, ok = {}, True
                 for k, v in skel.items():
-                    out[k], o = graft(v, raw_dict.get(k), fallback)
+                    out[k], o = graft(v, raw_dict.get(k), fallback,
+                                      path + (str(k),))
                     ok = ok and o
                 return out, ok
             if isinstance(skel, (list, tuple)):
@@ -437,8 +462,8 @@ class Trainer:
                 else:
                     raw_seq = [None] * len(skel)
                 out, ok = [], True
-                for s, r in zip(skel, raw_seq):
-                    g, o = graft(s, r, fallback)
+                for i, (s, r) in enumerate(zip(skel, raw_seq)):
+                    g, o = graft(s, r, fallback, path + (str(i),))
                     out.append(g)
                     ok = ok and o
                 return type(skel)(out), ok

@@ -49,11 +49,13 @@ ladder = ["checkpoints/r2_a0.75b3", "checkpoints/r2_a2b3",
 cks = [d for d in ladder if os.path.isdir(d)
        and any(x.startswith("ckpt") for x in os.listdir(d))]
 
-# held-out sequences from the corpus generator's --eval_clouds split
+# held-out sequences from the corpus generator's --eval_clouds split.
+# Only seed MISSING artifacts: from round 5 the release clouds carry true
+# mesh normals (scripts/round5_clouds.py) which this copy would clobber.
 for src, dst in (("eval_composite_vox10", "composite_vox10"),
                  ("eval_revolution_vox10", "revolution_vox10")):
     p = f"artifacts/eval/{src}.ply"
-    if os.path.exists(p):
+    if os.path.exists(p) and not os.path.exists(f"artifacts/{dst}.ply"):
         shutil.copyfile(p, f"artifacts/{dst}.ply")
 
 def regen(path):

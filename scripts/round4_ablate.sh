@@ -25,6 +25,10 @@ LOG=artifacts/round4_ablate.log
   fi
 
   echo "[4a] $(date -u +%H:%M:%S) ablation sweep (deadline $DEADLINE)"
+  # rc contract (round-4 VERDICT weak #6): log the REAL exit status and
+  # abort on failure. (The round-4 run logged "rc=1" on a fully green
+  # sweep because cli.main sys.exit()'d run_ablations' row list; cli.py
+  # now normalizes handler returns and run_ablations returns 0/1.)
   python -m pcgcv1_tpu.cli ablate \
     --input artifacts/composite_crop_vox10.ply \
     --out artifacts/ablations \
@@ -32,10 +36,14 @@ LOG=artifacts/round4_ablate.log
     --factorized_ladder checkpoints/r3_fact_a2,checkpoints/r3_fact_a16 \
     --simple_ladder checkpoints/r3_simple_a2,checkpoints/r4_simple_a16 \
     --res 1024 --chunk 96 --dtype bfloat16 --extra_scales 0.5,0.625 \
-    --reuse --deadline "$((DEADLINE - 120))" \
-    || echo "[4a] ablate rc=$?"
+    --reuse --deadline "$((DEADLINE - 120))"
+  rc=$?
+  echo "[4a] ablate rc=$rc"
+  if [ "$rc" -ne 0 ]; then
+    echo "[4a] ABORT: ablation sweep failed (rc=$rc)"; exit "$rc"
+  fi
   echo "[4a] $(date -u +%H:%M:%S) sweep done"
-} > "$LOG" 2>&1
+} > "$LOG" 2>&1 || exit $?
 
 # commit OUTSIDE the redirected block so the committed log is complete and
 # git failures are visible (round-3 ADVICE on round3e_chain.sh)

@@ -1,0 +1,86 @@
+#!/usr/bin/env bash
+# Round-5 release R-D sweep + BD report over FOUR vox10 sequences:
+#
+#   composite_vox10   held-out mesh-sampled composite (headline)
+#   scan_vox10        NEW scan-realistic content (datagen.apply_scan_noise:
+#                     depth noise + coverage gaps + holes) — the content
+#                     class where the trisoup anchor comparison is
+#                     meaningful (round-4 VERDICT item 4)
+#   revolution_vox10  held-out surface of revolution
+#   synth_vox10       procedural sheet (domain-shifted stress)
+#
+# All four clouds now ship TRUE surface normals (scripts/round5_clouds.py)
+# so D2 is scored against ground truth on both the codec and the anchors
+# (round-4 VERDICT item 3), and rho_d1/rho_d2 are re-searched per rate
+# point because every ladder rung was topped up this round.
+#
+# Usage: bash scripts/round5_eval.sh [deadline-epoch]
+# rc contract: real exit statuses, abort on failure.
+set -u
+cd "$(dirname "$0")/.."
+DEADLINE=${1:-$(( $(date +%s) + 14400 ))}
+LOG=artifacts/round5_eval.log
+CHAIN_RC=0
+
+regen_inis() {
+python - <<'PY'
+import configparser, os
+from pcgcv1_tpu.ablation import variant_config
+
+ladder = ["checkpoints/r2_a0.75b3", "checkpoints/r2_a2b3",
+          "checkpoints/r2_a6b3", "checkpoints/r2_a16b3"]
+cks = [d for d in ladder if os.path.isdir(d)
+       and any(x.startswith("ckpt") for x in os.listdir(d))]
+
+def regen(path):
+    # checkpoints were all topped up this round: cached rho winners are
+    # stale by construction, so regenerate clean (searches repopulate)
+    variant_config(path, cks, extra_scales=(0.375, 0.5, 0.625))
+    cfg = configparser.ConfigParser()
+    cfg.read(path)
+    print(f"{path}: {len(cfg.sections())} rate points")
+
+for ini in ("artifacts/rd_release.ini",
+            "artifacts/rd_release_composite.ini",
+            "artifacts/rd_release_revolution.ini",
+            "artifacts/rd_release_scan.ini"):
+    regen(ini)
+PY
+}
+
+run_eval() { # input ini
+  local input=$1 ini=$2 name rc
+  name=$(basename "$input" .ply)
+  if [ ! -f "$input" ]; then
+    echo "[5e] $name: input missing, skipped"; return 0
+  fi
+  local left=$((DEADLINE - $(date +%s)))
+  if [ "$left" -lt 300 ]; then
+    echo "[5e] $name: skipped (${left}s left)"; return 0
+  fi
+  echo "[5e] $(date -u +%H:%M:%S) sweep $name (${left}s budget)"
+  python -m pcgcv1_tpu.cli eval \
+    --input "$input" --cfgdir "$ini" --rootdir artifacts/rd_release \
+    --res 1024 --mode hyper --chunk 96 --dtype bfloat16 --search_rho
+  rc=$?
+  echo "[5e] $name eval rc=$rc"
+  if [ "$rc" -ne 0 ]; then CHAIN_RC=1; fi
+  return "$rc"
+}
+
+{
+  echo "[5e] $(date -u +%H:%M:%S) round-5 eval chain start"
+  regen_inis || { echo "[5e] INI regen FAILED rc=$?"; exit 1; }
+  run_eval artifacts/composite_vox10.ply artifacts/rd_release_composite.ini
+  run_eval artifacts/scan_vox10.ply artifacts/rd_release_scan.ini
+  run_eval artifacts/revolution_vox10.ply artifacts/rd_release_revolution.ini
+  run_eval artifacts/synth_vox10.ply artifacts/rd_release.ini
+  echo "[5e] $(date -u +%H:%M:%S) BD report (octree + gpcc octree/trisoup)"
+  python -m pcgcv1_tpu.cli report \
+    --eval_dir artifacts/rd_release --inputs_dir artifacts --res 1024
+  rc=$?
+  echo "[5e] report rc=$rc"
+  if [ "$rc" -ne 0 ]; then CHAIN_RC=1; fi
+  echo "[5e] $(date -u +%H:%M:%S) chain done rc=$CHAIN_RC"
+} >> "$LOG" 2>&1
+exit "$CHAIN_RC"

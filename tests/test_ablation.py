@@ -52,7 +52,8 @@ def test_run_ablations_driver(tmp_path, monkeypatch):
         ladder="ck_low,ck_high", factorized_ladder="", simple_ladder="",
         res=1024, cube_size=64, min_num=64, chunk=64, dtype="bfloat16",
         search_rho=False)
-    rows = ablation.run_ablations(args)
+    rows, status = ablation.run_ablations(args)
+    assert status == 0  # green sweep must report success (rc contract)
 
     by_name = {c["name"]: c for c in calls}
     # factorized/simple ladders absent -> those variants skipped
@@ -109,7 +110,8 @@ def test_run_ablations_reuse_skips_completed(tmp_path, monkeypatch):
         factorized_ladder="", simple_ladder="", res=1024, cube_size=64,
         min_num=64, chunk=64, dtype="bfloat16", search_rho=False,
         extra_scales="0.625", reuse=True)
-    rows = ablation.run_ablations(args)
+    rows, status = ablation.run_ablations(args)
+    assert status == 0
     assert "hyper64" not in calls          # complete -> reused
     assert "hyper32" in calls              # partial -> re-run
     labels = {r["comparison"] for r in rows}
@@ -182,3 +184,55 @@ def test_run_ablations_deadline_gate(tmp_path, monkeypatch):
     ablation.run_ablations(args)
     assert calls == ["hyper64", "factorized", "factorized_simple",
                      "hyper32", "hyper_fixed", "hyper128"]
+
+
+def test_run_ablations_failure_sets_status(tmp_path, monkeypatch):
+    """A variant that RAISES must surface as exit status 1 (round-4
+    VERDICT weak #6: chains abort on genuine failure), while the partial
+    sweep still yields whatever BD rows are computable."""
+
+    def fake_eval(name, input_file, cfg_path, out_root, res, mode, model,
+                  chunk, dtype, search_rho=False, deadline=0):
+        if name == "hyper32":
+            raise RuntimeError("injected variant failure")
+        csv = os.path.join(out_root, name + ".csv")
+        os.makedirs(out_root, exist_ok=True)
+        with open(csv, "w") as f:
+            f.write("rate,bpp,d1_psnr,d2_psnr\n")
+            for i in range(3):
+                f.write(f"R{i+1},{0.1*(2**i)},{60+4*i},{62+4*i}\n")
+        return csv
+
+    monkeypatch.setattr(ablation, "_eval_variant", fake_eval)
+    args = argparse.Namespace(
+        input="unused.ply", out=str(tmp_path / "abl"),
+        ladder="ck_low,ck_high", factorized_ladder="", simple_ladder="",
+        res=1024, cube_size=64, min_num=64, chunk=64, dtype="bfloat16",
+        search_rho=False)
+    rows, status = ablation.run_ablations(args)
+    assert status == 1
+    # the surviving cube128-vs-64 comparison still computed
+    assert any(r["comparison"] == "cube128_vs_cube64" for r in rows)
+
+
+def test_cli_main_normalizes_handler_returns(monkeypatch):
+    """cli.main must exit 0 for handlers returning a truthy non-int
+    payload (the round-4 'ablate rc=1 on success' bug) and pass real int
+    statuses through."""
+    from pcgcv1_tpu import cli as cli_mod
+
+    def run(ret):
+        parser_fn = {"fn": None}
+
+        def fake_parse(argv=None):
+            return argparse.Namespace(fn=lambda a: ret)
+
+        monkeypatch.setattr(
+            argparse.ArgumentParser, "parse_args",
+            lambda self, argv=None: argparse.Namespace(fn=lambda a: ret))
+        return cli_mod.main(["info", "x"])
+
+    assert run(["row1", "row2"]) == 0   # payload -> success
+    assert run(None) == 0
+    assert run(0) == 0
+    assert run(3) == 3                  # real status propagates
