@@ -46,7 +46,8 @@ def _add_codec_flags(p):
                         "coder, reference-format streams; 'device' = "
                         "on-TPU interleaved rANS, minimal link traffic. "
                         "Decode auto-detects from the stream.")
-    p.add_argument("--prior", default="float", choices=["float", "int"],
+    p.add_argument("--prior", default="float",
+                   choices=["float", "bf16", "int"],
                    help="hyper prior-code producer: 'float' = shared "
                         "jitted hyper-decoder (same-platform decode); "
                         "'int' = integer-quantized hyper-decoder — "

@@ -171,6 +171,10 @@ class HyperStreams:
     # global (y_min, y_max) of the coded latents (device coder): decode
     # side info that shrinks the rANS symbol bisection. () = unknown.
     y_range: tuple = ()
+    # per-chunk (min, max) pairs (device coder, flag bit 8): tighter
+    # bisection spans than the global range — a single outlier cube no
+    # longer widens every chunk's symbol search. 2 bytes per chunk.
+    y_chunk_ranges: tuple = ()
     # multi-host container: per-host sub-streams in canonical cube order
     # (each a standalone single-shard HyperStreams with its own coder tag,
     # rANS unit and ranges). Empty for single-host streams. The decoder
@@ -204,7 +208,9 @@ def _hyper_head_bytes(hs: HyperStreams):
         f.write(np.array(-32768, np.int16).tobytes())
         f.write(np.array(4, np.uint8).tobytes())           # version
         flags = (1 if hs.prior == "int" else 0) \
-            | (2 if hs.y_range else 0)
+            | (2 if hs.y_range else 0) \
+            | (4 if hs.prior == "bf16" else 0) \
+            | (8 if getattr(hs, "y_chunk_ranges", ()) else 0)
         f.write(np.array(flags, np.uint8).tobytes())
         f.write(np.array(len(hs.points_numbers)
                          if hs.points_numbers is not None
@@ -218,6 +224,10 @@ def _hyper_head_bytes(hs: HyperStreams):
             f.write(scales.tobytes())
         if hs.y_range:
             f.write(np.asarray(hs.y_range, np.int8).tobytes())
+        if getattr(hs, "y_chunk_ranges", ()):
+            cr = np.asarray(hs.y_chunk_ranges, np.int8)  # [n_chunks, 2]
+            f.write(np.array(cr.shape[0], np.uint16).tobytes())
+            f.write(cr.tobytes())
     else:
         f.write(np.array(len(hs.y_strings), np.int16).tobytes())
         f.write((y_max * 16 - y_min).astype(np.uint8).tobytes())
@@ -247,6 +257,7 @@ def _parse_hyper_head(f):
     n_cubes = int(np.frombuffer(f.read(2), np.int16)[0])
     coder, lanes, chunk = "host", 0, 0
     prior, prior_scales, y_range = "float", (), ()
+    y_chunk_ranges = ()
     if n_cubes == -32768:
         coder = "device"
         version = int(np.frombuffer(f.read(1), np.uint8)[0])
@@ -263,9 +274,18 @@ def _parse_hyper_head(f):
             ns = int(np.frombuffer(f.read(1), np.uint8)[0])
             prior_scales = tuple(
                 int(s) for s in np.frombuffer(f.read(ns), np.int8))
+        elif flags & 4:
+            # bfloat16 prior program (same determinism contract; decode
+            # must evaluate the same program that coded the stream)
+            prior = "bf16"
         if flags & 2:
             y_range = tuple(
                 int(v) for v in np.frombuffer(f.read(2), np.int8))
+        if flags & 8:
+            ncr = int(np.frombuffer(f.read(2), np.uint16)[0])
+            y_chunk_ranges = tuple(
+                (int(a), int(b)) for a, b in np.frombuffer(
+                    f.read(2 * ncr), np.int8).reshape(ncr, 2))
         y_min_vs = np.zeros(n_cubes, np.int32)
         y_max_vs = np.zeros(n_cubes, np.int32)
         lens = None
@@ -287,6 +307,7 @@ def _parse_hyper_head(f):
     y_shape = tuple(int(s) for s in np.frombuffer(f.read(2 * 5), np.int16))
     return dict(n_cubes=n_cubes, coder=coder, lanes=lanes, chunk=chunk,
                 prior=prior, prior_scales=prior_scales, y_range=y_range,
+                y_chunk_ranges=y_chunk_ranges,
                 y_min_vs=y_min_vs, y_max_vs=y_max_vs, lens=lens,
                 y_shape=y_shape)
 
@@ -435,7 +456,8 @@ def _read_hyper_multihost(f_head, base):
             points_numbers[off:off + nc], cube_positions[off:off + nc],
             coder=h["coder"], lanes=h["lanes"], chunk=h["chunk"],
             prior=h["prior"], prior_scales=h["prior_scales"],
-            y_range=h["y_range"]))
+            y_range=h["y_range"],
+            y_chunk_ranges=h["y_chunk_ranges"]))
         off += nc
     first = shards[0]
     total = sum(t[0] for t in table)
@@ -480,4 +502,5 @@ def read_hyper(filename, rootdir="./"):
                         coder=h["coder"], lanes=h["lanes"],
                         chunk=h["chunk"], prior=h["prior"],
                         prior_scales=h["prior_scales"],
-                        y_range=h["y_range"])
+                        y_range=h["y_range"],
+                        y_chunk_ranges=h["y_chunk_ranges"])

@@ -130,7 +130,7 @@ class PointCloudCodec:
             raise ValueError(f"unknown mode {mode!r}")
         if coder not in ("host", "device"):
             raise ValueError(f"unknown coder {coder!r}")
-        if prior not in ("float", "int"):
+        if prior not in ("float", "bf16", "int"):
             raise ValueError(f"unknown prior {prior!r}")
         if mask_wire not in ("packed", "rans"):
             raise ValueError(f"unknown mask_wire {mask_wire!r}")
@@ -142,12 +142,11 @@ class PointCloudCodec:
             raise ValueError("vrn='pallas' (banded block-Toeplitz VRN "
                              "kernels, ops/vrn_pallas.py) applies to the "
                              "voxception family only")
-        if prior == "int" and (mode != "hyper" or coder != "device"):
+        if prior != "float" and (mode != "hyper" or coder != "device"):
             raise ValueError(
-                "prior='int' (cross-platform integer prior codes, "
-                "entropy/qprior.py) requires mode='hyper' coder='device' — "
+                "prior='int'/'bf16' requires mode='hyper' coder='device' — "
                 "the host-coder stream header is reference-format and has "
-                "no field for the shipped activation scales")
+                "no field to record the prior program (scales / dtype tag)")
         self.prior = prior
         self.mask_wire = mask_wire
         self._qw = None          # lazy: derived integer hyper-decoder codes
@@ -326,6 +325,18 @@ class PointCloudCodec:
                 loc, scale = apply("hyper_decoder", params["hyper_decoder"],
                                    zhat8.astype(jnp.float32))
                 return quantize_prior(loc, scale)
+        elif name == "prior_bf16":
+            # same contract, bfloat16 compute: ~2-4x cheaper hyper-decoder
+            # convs on the MXU; the stream tags which prior program coded
+            # it (prior="bf16"), so decode always evaluates the matching
+            # one and drift stays 0 by construction
+            hd16 = self.family.hyper_decoder(dtype=jnp.bfloat16)
+
+            def fn(params, zhat8):
+                loc, scale = hd16.apply(
+                    {"params": params["hyper_decoder"]},
+                    zhat8.astype(jnp.float32))
+                return quantize_prior(loc, scale)
         elif name == "qprior":
             # integer-quantized prior: bit-exact on any backend / batch
             # shape (entropy/qprior.py). Weight codes are closure constants
@@ -452,10 +463,10 @@ class PointCloudCodec:
             # (entropy/rans.py mask_encode); only words[:count] + the
             # 4L-byte states + 64-byte histogram cross the host link.
             # The C++ runtime (pcgc_rans_mask_decode) inverts it.
-            n = int(name.split(":")[1])
+            _, n, cap = name.split(":")
+            n, cap = int(n), int(cap)
             mb = n * (self.cube_size ** 3 // 8)
             lanes = rans.mask_lanes(mb)
-            cap = self._mask_cap(n)
 
             def fn(params, packed):
                 return rans.mask_encode(packed.reshape(-1),
@@ -605,7 +616,7 @@ class PointCloudCodec:
 
     # --------------------------------------------------------- mask wire --
     def _mask_cap(self, n):
-        """Static word capacity for one mask-wire unit of n cubes. The
+        """Provable word capacity for one mask-wire unit of n cubes. The
         empirical-histogram model cannot exceed ~4.2 bits/nibble (the
         scaled-histogram quantization adds <2% over the empirical
         entropy, itself <= 4 bits/nibble), so bytes/2 words plus slack is
@@ -613,38 +624,62 @@ class PointCloudCodec:
         mb = n * (self.cube_size ** 3 // 8)
         return mb // 2 + mb // 8 + rans.mask_lanes(mb) + 4096
 
+    def _mask_likely(self, n):
+        """Async-prefix word size: ~0.5 bits/nibble of coded masks
+        (trained rho~1 masks measure ~0.35; a denser chunk falls back to
+        the blocking sliced fetch in _collect_packed). Keep this tight:
+        the prefix is decode's dominant D2H volume and sustained traffic
+        is what drags the relay into its throttled regime."""
+        mb = n * (self.cube_size ** 3 // 8)
+        return mb // 16 + rans.mask_lanes(mb) + 4096
+
     def _fetch_packed(self, packed_dev):
         """Start the D2H fetch of one chunk's bit-packed masks, honoring
         mask_wire: 'packed' downloads the bytes; 'rans' entropy-codes them
         on device first (maskenc program) and downloads the unit.
 
-        The FULL word buffer is async-copied at dispatch time (round-5
-        decode fix): the old path fetched only (count, states, hist)
-        async and then, at collect time, dispatched a device-side
-        ``words[:count]`` slice plus a BLOCKING download — one extra
-        relay round trip per chunk, serialized after all compute, which
-        the per-direction decode numbers were paying for. The buffer's
-        zero tail costs little on the compressing relay wire, and the
-        copy overlaps later chunks' compute like every other download."""
+        Protocol (measured, round-5 interleaved A/Bs in one window):
+        a STATIC likely-size prefix of the word buffer (~1 bit/nibble,
+        mb/8 words) is async-copied at dispatch alongside (count,
+        states, hist); the provable-cap remainder is fetched with a
+        device-side ``words[:count]`` slice + blocking fetch ONLY when
+        a dense chunk overflows the prefix. The two rejected extremes,
+        for the record: async-copying the whole provable buffer
+        throttled the relay's compute stream (chunk-96 decode ~100
+        c/s), and downloading everything late via blocking sliced
+        fetches paid a per-chunk relay round trip that degrades to
+        100-500 ms when the link throttles (the round-4 decode
+        plateau)."""
         if self.mask_wire != "rans":
             return ("raw", self._start_fetch(packed_dev))
         shape = packed_dev.shape
-        out = self._jitted(f"maskenc:{shape[0]}")(self.params, packed_dev)
-        return ("rans", self._start_fetch(out), shape)
+        n = int(shape[0])
+        cap = self._mask_cap(n)
+        words, count, states, hist = self._jitted(
+            f"maskenc:{shape[0]}:{cap}")(self.params, packed_dev)
+        if getattr(self, "mask_prefetch", True):
+            wl = words[:min(self._mask_likely(n), cap)]  # static slice
+        else:                  # A/B toggle: late blocking fetch only
+            wl = words[:0]
+        return ("rans", words,
+                self._start_fetch((wl, count, states, hist)), shape)
 
     def _collect_packed(self, fut):
         """Resolve one _fetch_packed future to host packed-mask bytes."""
         if fut[0] == "raw":
             return np.asarray(jax.device_get(fut[1]))
-        _, (words, count, states, hist), shape = fut
+        _, words_dev, (wl, count, states, hist), shape = fut
         cnt = int(np.asarray(count))
-        if cnt > words.shape[0]:
+        if cnt > words_dev.shape[0]:
             raise OverflowError(
                 f"mask-wire word buffer overflow ({cnt} > cap "
-                f"{words.shape[0]}) — should be impossible, see "
+                f"{words_dev.shape[0]}) — should be impossible, see "
                 "_mask_cap")
-        wh = np.asarray(jax.device_get(words))[:cnt]
-        out = native.rans_mask_decode(wh, np.asarray(states),
+        if cnt <= wl.shape[0]:
+            words = np.asarray(wl)[:cnt]          # already in flight
+        else:
+            words = np.asarray(jax.device_get(words_dev[:cnt]))
+        out = native.rans_mask_decode(words, np.asarray(states),
                                       np.asarray(hist),
                                       int(np.prod(shape)))
         return out.reshape(shape)
@@ -1003,7 +1038,8 @@ class PointCloudCodec:
         if self.prior == "int":
             qp = self._jitted("qprior")
         else:
-            prior = self._jitted("prior")
+            prior = self._jitted("prior_bf16" if self.prior == "bf16"
+                                 else "prior")
 
         # STREAMING y chain: chunks are processed in reverse feed order
         # (rANS is LIFO) and each chunk's bulky (yv, lq, sq) arrays are
@@ -1073,11 +1109,16 @@ class PointCloudCodec:
         if z_max == z_min:
             z_max += 1
         z_elems = int(np.prod(self._z_spatial))
-        # z streams are tiny at trained rates (~KBs): balance the 4 B/lane
-        # flush against the scan's ~us/step overhead (fewer lanes = longer
-        # scan). 128 lanes = 0.5 KB flush, ~1.5k steps per 48-cube chunk.
+        # z lanes balance the 4 B/lane state flush against serial scan
+        # steps. A fixed 128-lane cap cost ~94 ms/96-cube chunk of pure z
+        # scan (3k steps) on big workloads — ~30% of decode. Scale the
+        # cap with cube count so the flush stays a few % of the z stream
+        # (trained z runs ~0.2-0.5 KB/cube): lanes <= b rounded down to a
+        # power of two, in [128, min(self.lanes, 1024)].
+        by_cubes = 1 << max(int(np.floor(np.log2(max(b, 1)))), 0)
+        z_cap = int(min(self.lanes, 1024, max(128, by_cubes)))
         z_lanes = max(self.family.hyper_channels,
-                      rans.pick_lanes(z_elems, min(self.lanes, 128)))
+                      rans.pick_lanes(z_elems, z_cap))
         ztab = self._lane_table(z_min, z_max, z_lanes)
         z_blob, _ = self._chained_encode(
             zchunks, "cdf_encode", (ztab, jnp.int32(z_min)), b, z_elems,
@@ -1095,7 +1136,8 @@ class PointCloudCodec:
             coder="device", lanes=lanes, chunk=self.chunk,
             prior=self.prior,
             prior_scales=tuple(int(s) for s in a_scales),
-            y_range=(y_gmin, y_gmax))
+            y_range=(y_gmin, y_gmax),
+            y_chunk_ranges=tuple((t[0], t[1]) for t in mm))
         if return_recon:
             recon = _tree_concat(
                 [jax.device_get(f) for _, f in sorted(recon_futs)])[:b]
@@ -1145,10 +1187,13 @@ class PointCloudCodec:
             qp = self._jitted("qprior")
             a_dev = jnp.asarray(hs.prior_scales, jnp.int32)
         else:
-            # the shared "prior" program must see the encode-time batch
-            # shape (determinism contract); the stream records it
+            # the shared prior program must see the encode-time batch
+            # shape (determinism contract); the stream records both the
+            # chunk AND which prior program (f32/bf16) coded it
             chunk = int(getattr(hs, "chunk", 0)) or self.chunk
-            prior = self._jitted("prior")
+            prior = self._jitted(
+                "prior_bf16" if getattr(hs, "prior", "float") == "bf16"
+                else "prior")
         words, states, ptr = self._upload_words(hs.y_strings[0], lanes)
         extra_arrays = [np.asarray(a) for a in extra_arrays]
         yr = tuple(getattr(hs, "y_range", ()) or ())
@@ -1158,10 +1203,23 @@ class PointCloudCodec:
                        if yr[1] > yr[0] else 0, 0)
         else:
             base, bits = 0, 8  # legacy stream: full bisection
-        ybase = jnp.int32(base)
+        # per-chunk ranges (stream flag bit 8): tighter bisection spans
+        # per chunk than the global range — (base, bits) then vary by
+        # chunk index. bits is a static program key (few distinct values
+        # compile); base stays a traced operand.
+        cr = tuple(getattr(hs, "y_chunk_ranges", ()) or ())
+
+        def chunk_span(ci):
+            if cr and ci < len(cr):
+                lo, hi = cr[ci]
+                return jnp.int32(lo + 128), max(
+                    int(np.ceil(np.log2(hi - lo + 1))) if hi > lo else 0,
+                    0)
+            return jnp.int32(base), bits
 
         futs = []
         for i in range(0, b, chunk):
+            ybase, bits_c = chunk_span(i // chunk)
             n = min(chunk, b - i)
             if z_device:
                 zp, zstates, zptr = self._jitted(f"zdec:{n}:{chunk}")(
@@ -1188,14 +1246,14 @@ class PointCloudCodec:
                 n1 = (n + 1) // 2
                 for lo, hi in ((0, n1), (n1, n)):
                     m = hi - lo
-                    fin = self._jitted(f"rans_{final}:{m}:{bits}")
+                    fin = self._jitted(f"rans_{final}:{m}:{bits_c}")
                     out, states, ptr = fin(
                         self.params, words, states, ptr, ybase,
                         lq[lo:] if lo else lq, sq[lo:] if lo else sq,
                         *[a[lo:hi] for a in ex], *scalars)
                     futs.append(self._fetch_packed(out))
                 continue
-            fin = self._jitted(f"rans_{final}:{n}:{bits}")
+            fin = self._jitted(f"rans_{final}:{n}:{bits_c}")
             out, states, ptr = fin(self.params, words, states, ptr,
                                    ybase, lq, sq, *ex, *scalars)
             futs.append(self._fetch_packed(out) if final == "classify"

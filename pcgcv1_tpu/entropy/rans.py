@@ -409,9 +409,12 @@ def cdf16_from_hist(hist):
          jnp.cumsum(f).astype(jnp.uint32)])
 
 
-def mask_lanes(n_bytes, max_lanes=DEFAULT_LANES):
+def mask_lanes(n_bytes, max_lanes=4 * DEFAULT_LANES):
     """Lane count for a mask unit: largest power of two <= max_lanes
-    dividing the nibble count."""
+    dividing the nibble count. The mask unit is decode-side TRANSPORT
+    (never bitstream), so its 4 B/lane state flush costs wire bytes but
+    no bpp — wider interleave (4096) quarters the serial scan steps of
+    the per-chunk maskenc program for a 16 KB/chunk wire cost."""
     return pick_lanes(2 * n_bytes, max_lanes)
 
 

@@ -151,21 +151,31 @@ class HyperDecoder(nn.Module):
     """z_hat -> (loc, scale) for the conditional model
     (reference `model_voxception.py:255-308`). scale = |head2|.
 
-    NOTE: this module feeds the entropy coder; it always computes in
-    float32 regardless of the family dtype so encoder- and decoder-side
-    evaluations are the same program on the same platform (determinism
-    contract, SURVEY.md §5).
+    NOTE: this module feeds the entropy coder. The determinism contract
+    (SURVEY.md §5) requires encoder- and decoder-side evaluations to be
+    the SAME compiled program on the same platform — which holds for any
+    compute dtype, so ``dtype`` may be bfloat16 for throughput: the
+    stream records which prior program produced its codes
+    (codec/bitstream.py flags bit 4) and decode picks the matching one.
+    Cross-platform decode still uses the integer prior
+    (entropy/qprior.py). Params stay float32; outputs are float32.
     """
+
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = x.astype(jnp.float32)
-        x = nn.relu(nn.Conv(16, (3, 3, 3), padding="SAME",
+        d = self.dtype
+        x = x.astype(d)
+        x = nn.relu(nn.Conv(16, (3, 3, 3), padding="SAME", dtype=d,
                             name="deconv1")(x))
         x = nn.relu(nn.ConvTranspose(16, (3, 3, 3), strides=(2, 2, 2),
-                                     padding="SAME", name="deconv2")(x))
-        x = nn.relu(nn.Conv(32, (3, 3, 3), padding="SAME",
+                                     padding="SAME", dtype=d,
+                                     name="deconv2")(x))
+        x = nn.relu(nn.Conv(32, (3, 3, 3), padding="SAME", dtype=d,
                             name="deconv3")(x))
-        loc = nn.Conv(16, (3, 3, 3), padding="SAME", name="deconv4_1")(x)
-        scale = nn.Conv(16, (3, 3, 3), padding="SAME", name="deconv4_2")(x)
-        return loc, jnp.abs(scale)
+        loc = nn.Conv(16, (3, 3, 3), padding="SAME", dtype=d,
+                      name="deconv4_1")(x)
+        scale = nn.Conv(16, (3, 3, 3), padding="SAME", dtype=d,
+                        name="deconv4_2")(x)
+        return loc.astype(jnp.float32), jnp.abs(scale).astype(jnp.float32)

@@ -157,7 +157,7 @@ def main():
 
     # ---- mask-wire alternative: device rANS coding of the packed bytes ----
     from pcgcv1_tpu import native
-    menc = codec._jitted(f"maskenc:{n0}")
+    menc = codec._jitted(f"maskenc:{n0}:{codec._mask_cap(n0)}")
     mw = timed("maskenc scan (mask wire)",
                lambda: menc(codec.params, packed), results=r)
     words_m, count_m, states_m, hist_m = mw
