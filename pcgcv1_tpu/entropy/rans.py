@@ -410,12 +410,16 @@ def cdf16_from_hist(hist):
 
 
 def mask_lanes(n_bytes, max_lanes=4 * DEFAULT_LANES):
-    """Lane count for a mask unit: largest power of two <= max_lanes
-    dividing the nibble count. The mask unit is decode-side TRANSPORT
-    (never bitstream), so its 4 B/lane state flush costs wire bytes but
-    no bpp — wider interleave (4096) quarters the serial scan steps of
-    the per-chunk maskenc program for a 16 KB/chunk wire cost."""
-    return pick_lanes(2 * n_bytes, max_lanes)
+    """Lane count for a mask unit, scaled to the unit size: the 4 B/lane
+    state flush must stay a small fraction of the packed bytes (the mask
+    unit is decode-side TRANSPORT, so flush costs wire but no bpp), and
+    wider interleave cuts the maskenc scan's serial steps. lanes <=
+    n_bytes/256 keeps the flush under ~1.6% of the packed size: a
+    96-cube 64^3 chunk (3.1 MB) gets 4096 lanes (4x fewer steps than
+    the old 1024 cap), an 8-cube chunk gets 1024, tiny test units stay
+    narrow."""
+    by_size = 1 << max(int(np.floor(np.log2(max(n_bytes // 256, 1)))), 4)
+    return pick_lanes(2 * n_bytes, min(max_lanes, by_size))
 
 
 def mask_encode(packed_bytes, states, cap):
