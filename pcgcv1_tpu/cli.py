@@ -462,6 +462,13 @@ def main(argv=None):
     pe.add_argument("--tag", default="",
                     help="suffix for the output CSV/plot basename (two "
                          "modes over the same input don't collide)")
+    pe.add_argument("--deadline", type=float, default=0,
+                    help="epoch seconds: stop BETWEEN rate points when "
+                         "the next one would overrun, keeping the "
+                         "partial CSV")
+    pe.add_argument("--search_rho_min_scale", type=float, default=0.0,
+                    help="with --search_rho: only re-search sections "
+                         "whose scale >= this (others keep INI values)")
     pe.add_argument("--search_rho", action="store_true",
                     help="search optimal rho_d1/rho_d2 per rate point and "
                          "cache the winners into the INI in place "

@@ -209,7 +209,13 @@ def _eval_rate_section(args, s, section, input_file, pts, normals, dtype):
     codec = PointCloudCodec(
         model=args.modelname, mode=args.mode, ckpt_dir=s["ckpt_dir"],
         dtype=dtype, chunk=args.chunk, cube_size=s.getint("cube_size", 64))
-    if getattr(args, "search_rho", False):
+    # --search_rho_min_scale: re-search only sections at or above this
+    # positional scale (pc_error dominates a search; downscale rungs'
+    # cached winners have been stable across rounds, so a full-ladder
+    # re-search triples sweep cost for little movement)
+    min_scale = float(getattr(args, "search_rho_min_scale", 0) or 0)
+    if getattr(args, "search_rho", False) \
+            and s.getfloat("scale", 1.0) >= min_scale:
         found = search_optimal_rho(
             input_file, codec, s, args.res,
             os.path.join(args.rootdir, "streams"), section,

@@ -32,19 +32,37 @@ ladder = ["checkpoints/r2_a0.75b3", "checkpoints/r2_a2b3",
 cks = [d for d in ladder if os.path.isdir(d)
        and any(x.startswith("ckpt") for x in os.listdir(d))]
 
-def regen(path):
-    # checkpoints were all topped up this round: cached rho winners are
-    # stale by construction, so regenerate clean (searches repopulate)
+def regen(path, seed_from=None):
+    """Rebuild the ladder INI. Cached rho winners are kept for
+    unchanged (scale, ckpt_dir) sections — they seed the downscale
+    rungs, which the sweep does NOT re-search (see
+    --search_rho_min_scale); scale-1 rungs get re-searched anyway."""
+    old = configparser.ConfigParser()
+    if os.path.exists(path):
+        old.read(path)
+    elif seed_from and os.path.exists(seed_from):
+        old.read(seed_from)   # new sequence: seed from composite's
     variant_config(path, cks, extra_scales=(0.375, 0.5, 0.625))
-    cfg = configparser.ConfigParser()
-    cfg.read(path)
-    print(f"{path}: {len(cfg.sections())} rate points")
+    new = configparser.ConfigParser()
+    new.read(path)
+    kept = 0
+    for sec in new.sections():
+        if (old.has_section(sec)
+                and old[sec].get("scale") == new[sec].get("scale")):
+            for k in ("rho_d1", "rho_d2"):
+                if old[sec].get(k):
+                    new[sec][k] = old[sec][k]
+                    kept += 1
+    with open(path, "w") as f:
+        new.write(f)
+    print(f"{path}: {len(new.sections())} rate points, {kept} rho "
+          "values carried")
 
-for ini in ("artifacts/rd_release.ini",
-            "artifacts/rd_release_composite.ini",
-            "artifacts/rd_release_revolution.ini",
-            "artifacts/rd_release_scan.ini"):
-    regen(ini)
+regen("artifacts/rd_release_composite.ini")
+regen("artifacts/rd_release_scan.ini",
+      seed_from="artifacts/rd_release_composite.ini")
+regen("artifacts/rd_release_revolution.ini")
+regen("artifacts/rd_release.ini")
 PY
 }
 
@@ -61,7 +79,9 @@ run_eval() { # input ini
   echo "[5e] $(date -u +%H:%M:%S) sweep $name (${left}s budget)"
   python -m pcgcv1_tpu.cli eval \
     --input "$input" --cfgdir "$ini" --rootdir artifacts/rd_release \
-    --res 1024 --mode hyper --chunk 96 --dtype bfloat16 --search_rho
+    --res 1024 --mode hyper --chunk 96 --dtype bfloat16 \
+    --search_rho --search_rho_min_scale 1.0 \
+    --deadline "$((DEADLINE - 60))"
   rc=$?
   echo "[5e] $name eval rc=$rc"
   if [ "$rc" -ne 0 ]; then CHAIN_RC=1; fi
