@@ -206,9 +206,15 @@ def _eval_rate_section(args, s, section, input_file, pts, normals, dtype):
     the INI in place), and run the full round-trip row."""
     from pcgcv1_tpu.codec.transforms import PointCloudCodec
 
+    # device coder: the flagship on-TPU rANS path — ~5-10x faster per
+    # rate point than the host range coder and the configuration the
+    # release evidence should measure (stream sizes are within a
+    # fraction of a % of the host coder's, tests/test_codec.py
+    # test_rate_close_to_host_coder)
     codec = PointCloudCodec(
         model=args.modelname, mode=args.mode, ckpt_dir=s["ckpt_dir"],
-        dtype=dtype, chunk=args.chunk, cube_size=s.getint("cube_size", 64))
+        dtype=dtype, chunk=args.chunk, coder="device",
+        cube_size=s.getint("cube_size", 64))
     # --search_rho_min_scale: re-search only sections at or above this
     # positional scale (pc_error dominates a search; downscale rungs'
     # cached winners have been stable across rounds, so a full-ladder
