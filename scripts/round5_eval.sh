@@ -27,8 +27,13 @@ python - <<'PY'
 import configparser, os
 from pcgcv1_tpu.ablation import variant_config
 
-ladder = ["checkpoints/r2_a0.75b3", "checkpoints/r2_a2b3",
-          "checkpoints/r2_a6b3", "checkpoints/r2_a16b3"]
+if os.path.exists("artifacts/r5_ladder.txt"):
+    # scripts/round5_select.py's held-out checkpoint selection
+    ladder = [l.strip() for l in open("artifacts/r5_ladder.txt")
+              if l.strip()]
+else:
+    ladder = ["checkpoints/r2_a0.75b3", "checkpoints/r2_a2b3",
+              "checkpoints/r2_a6b3", "checkpoints/r2_a16b3"]
 cks = [d for d in ladder if os.path.isdir(d)
        and any(x.startswith("ckpt") for x in os.listdir(d))]
 
