@@ -37,11 +37,20 @@ else:
 cks = [d for d in ladder if os.path.isdir(d)
        and any(x.startswith("ckpt") for x in os.listdir(d))]
 
+LOWRATE = "checkpoints/r5_a0.75b3_lowrate"
+
 def regen(path, seed_from=None):
     """Rebuild the ladder INI. Cached rho winners are kept for
     unchanged (scale, ckpt_dir) sections — they seed the downscale
     rungs, which the sweep does NOT re-search (see
-    --search_rho_min_scale); scale-1 rungs get re-searched anyway."""
+    --search_rho_min_scale); scale-1 rungs get re-searched anyway.
+
+    Downscale sections (scale < 1) point at the LOWRATE snapshot
+    (round-4 step 8500): the round-5 selected step 13000 wins at scale
+    1 (+1.1 dB at equal rate) but regresses hard on downscaled content
+    (composite R1 y stream 0.209 vs 0.130 bpp — the cosine restart
+    traded off-distribution robustness for in-distribution quality), so
+    each operating regime gets the checkpoint that wins there."""
     old = configparser.ConfigParser()
     if os.path.exists(path):
         old.read(path)
@@ -52,6 +61,9 @@ def regen(path, seed_from=None):
     new.read(path)
     kept = 0
     for sec in new.sections():
+        if float(new[sec].get("scale", "1.0")) < 1.0 \
+                and os.path.isdir(LOWRATE):
+            new[sec]["ckpt_dir"] = LOWRATE
         if (old.has_section(sec)
                 and old[sec].get("scale") == new[sec].get("scale")):
             for k in ("rho_d1", "rho_d2"):
