@@ -206,14 +206,17 @@ def _eval_rate_section(args, s, section, input_file, pts, normals, dtype):
     the INI in place), and run the full round-trip row."""
     from pcgcv1_tpu.codec.transforms import PointCloudCodec
 
-    # device coder: the flagship on-TPU rANS path — ~5-10x faster per
-    # rate point than the host range coder and the configuration the
-    # release evidence should measure (stream sizes are within a
-    # fraction of a % of the host coder's, tests/test_codec.py
-    # test_rate_close_to_host_coder)
+    # host coder for R-D evidence: at trained low rates the device
+    # stream pays the 4*lanes state flush PLUS an integer-qcdf model
+    # gap vs the host coder's exact Laplace CDFs (measured round 5 on
+    # the composite scale-0.375 point: host y 9.95 KB, qcdf-model ideal
+    # 14.4 KB, device stream 17.5 KB) — the host range coder is the
+    # rate-optimal configuration; the device coder is the throughput
+    # configuration (bench.py). --coder device remains available on the
+    # compress/decompress CLI.
     codec = PointCloudCodec(
         model=args.modelname, mode=args.mode, ckpt_dir=s["ckpt_dir"],
-        dtype=dtype, chunk=args.chunk, coder="device",
+        dtype=dtype, chunk=args.chunk, coder="host",
         cube_size=s.getint("cube_size", 64))
     # --search_rho_min_scale: re-search only sections at or above this
     # positional scale (pc_error dominates a search; downscale rungs'

@@ -83,8 +83,8 @@ regen("artifacts/rd_release.ini")
 PY
 }
 
-run_eval() { # input ini
-  local input=$1 ini=$2 name rc
+run_eval() { # input ini [search-min-scale]
+  local input=$1 ini=$2 minscale=${3:-1.0} name rc
   name=$(basename "$input" .ply)
   if [ ! -f "$input" ]; then
     echo "[5e] $name: input missing, skipped"; return 0
@@ -97,7 +97,7 @@ run_eval() { # input ini
   python -m pcgcv1_tpu.cli eval \
     --input "$input" --cfgdir "$ini" --rootdir artifacts/rd_release \
     --res 1024 --mode hyper --chunk 96 --dtype bfloat16 \
-    --search_rho --search_rho_min_scale 1.0 \
+    --search_rho --search_rho_min_scale "$minscale" \
     --deadline "$((DEADLINE - 60))"
   rc=$?
   echo "[5e] $name eval rc=$rc"
@@ -108,10 +108,13 @@ run_eval() { # input ini
 {
   echo "[5e] $(date -u +%H:%M:%S) round-5 eval chain start"
   regen_inis || { echo "[5e] INI regen FAILED rc=$?"; exit 1; }
-  run_eval artifacts/composite_vox10.ply artifacts/rd_release_composite.ini
+  # composite reuses THIS round's fresh scale-1 rho winners (searched in
+  # the first, device-coder pass — rho is a top-k property, independent
+  # of the entropy coder); synth reuses its carried round-4 winners
+  run_eval artifacts/composite_vox10.ply artifacts/rd_release_composite.ini 9
   run_eval artifacts/scan_vox10.ply artifacts/rd_release_scan.ini
   run_eval artifacts/revolution_vox10.ply artifacts/rd_release_revolution.ini
-  run_eval artifacts/synth_vox10.ply artifacts/rd_release.ini
+  run_eval artifacts/synth_vox10.ply artifacts/rd_release.ini 9
   echo "[5e] $(date -u +%H:%M:%S) BD report (octree + gpcc octree/trisoup)"
   python -m pcgcv1_tpu.cli report \
     --eval_dir artifacts/rd_release --inputs_dir artifacts --res 1024
